@@ -1,0 +1,80 @@
+"""Selection stage vs sklearn: scaler parity, MI estimator parity
+(same Kraskov kNN algorithm), and top-k set agreement."""
+
+import numpy as np
+from sklearn.feature_selection import SelectKBest
+from sklearn.feature_selection import mutual_info_classif as sk_mi
+from sklearn.preprocessing import StandardScaler
+
+from wst_tpu.features.selection import (fit_select_kbest, fit_standard_scaler,
+                                        mutual_info_classif, top_k_indices,
+                                        SelectionModel)
+
+
+def _dataset(rng, n=60, f=30, informative=6):
+    y = rng.integers(0, 3, n)
+    X = rng.normal(size=(n, f))
+    for i in range(informative):
+        X[:, i] += y * (1.5 + 0.3 * i)  # informative columns
+    return X, y
+
+
+def test_scaler_matches_sklearn(rng):
+    X, _ = _dataset(rng)
+    params, Xs = fit_standard_scaler(X)
+    want = StandardScaler().fit_transform(X)
+    np.testing.assert_allclose(Xs, want, atol=1e-12)
+    # zero-variance column -> scale 1 (sklearn behavior)
+    Xz = np.hstack([X, np.full((X.shape[0], 1), 3.0)])
+    p2, Xs2 = fit_standard_scaler(Xz)
+    assert p2.scale[-1] == 1.0 and np.all(Xs2[:, -1] == 0.0)
+
+
+def test_mi_matches_sklearn(rng):
+    X, y = _dataset(rng)
+    _, Xs = fit_standard_scaler(X)
+    ours = mutual_info_classif(Xs, y)
+    theirs = sk_mi(Xs, y, n_neighbors=3, random_state=0)
+    # Same estimator, different 1e-10 tie-break noise: scores agree tightly.
+    np.testing.assert_allclose(ours, theirs, atol=0.02)
+    # Ranking of informative vs noise features agrees.
+    assert set(np.argsort(ours)[-6:]) == set(np.argsort(theirs)[-6:])
+
+
+def test_top_k_matches_sklearn_tiebreak():
+    scores = np.array([0.5, 0.2, 0.5, 0.9, 0.2, 0.9])
+    idx = top_k_indices(scores, 3)
+    # sklearn: stable argsort, last k
+    sel = SelectKBest(lambda X, y: scores, k=3)
+    sel.fit(np.zeros((4, 6)), [0, 0, 1, 1])
+    np.testing.assert_array_equal(idx, sel.get_support(indices=True))
+
+
+def test_fit_select_kbest_end_to_end(rng):
+    X, y = _dataset(rng, n=45, f=20, informative=4)
+    names = [f"f{i}" for i in range(20)]
+    X_sel, model = fit_select_kbest(X, y, names, k=5)
+    assert X_sel.shape == (45, 5)
+    assert len(model.selected_features) == 5
+    # transform() reproduces the fit-time selected matrix
+    np.testing.assert_allclose(model.transform(X), X_sel, atol=1e-6)
+    # the informative features dominate the selection
+    assert len(set(model.selected_indices) & {0, 1, 2, 3}) >= 3
+    # round-trip serialization
+    m2 = SelectionModel.from_dict(model.to_dict())
+    np.testing.assert_allclose(m2.transform(X), X_sel, atol=1e-6)
+
+
+def test_mi_agreement_on_image_like_features(rng):
+    # Heavier-tailed, correlated features as produced by WST pooling.
+    n = 45
+    y = np.repeat([0, 1, 2], n // 3)
+    base = rng.normal(size=(n, 8))
+    X = np.hstack([base, base[:, :4] ** 2,
+                   rng.normal(size=(n, 8)) * 0.1 + y[:, None] * 0.8])
+    _, Xs = fit_standard_scaler(X)
+    ours = mutual_info_classif(Xs, y)
+    theirs = sk_mi(Xs, y, n_neighbors=3, random_state=0)
+    np.testing.assert_allclose(ours, theirs, atol=0.03)
+    k = 5
+    assert len(set(top_k_indices(ours, k)) & set(top_k_indices(theirs, k))) >= 4

@@ -1,0 +1,191 @@
+"""Feature standardization + mutual-information k-best selection on device.
+
+TPU-native replacement for the reference's
+``StandardScaler -> SelectKBest(mutual_info_classif, k)`` stage (reference:
+src/training/train_and_save_model.py:147-165).
+
+The MI estimator reproduces the Kraskov/Ross k-nearest-neighbour estimator
+used by sklearn's ``mutual_info_classif`` (continuous feature, discrete
+target; n_neighbors=3), fully vectorized over features:
+
+    MI(x, y) = psi(n) + E[psi(k_i)] - E[psi(count(y_i))] - E[psi(m_i + 1)]
+
+where for sample i of class c, k_i = min(3, |c| - 1), r_i is the distance to
+its k_i-th nearest neighbour *within class c*, and m_i counts all samples
+(any class) strictly within r_i.  Because every feature is 1-D, the kNN
+search is a sort — no trees needed, and the whole (features x samples x
+samples) tensor fits comfortably on chip for these dataset sizes.
+
+sklearn adds ~1e-10 tie-breaking noise with an unseeded RNG (the reference's
+selection is therefore not run-to-run deterministic); we add the same
+magnitude of noise from a *fixed* key so selection is reproducible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Standard scaler.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ScalerParams:
+    mean: np.ndarray   # (F,)
+    scale: np.ndarray  # (F,) std with zero-variance columns -> 1
+
+    def transform(self, X):
+        return (np.asarray(X) - self.mean) / self.scale
+
+    def to_dict(self):
+        return {"mean": self.mean.tolist(), "scale": self.scale.tolist()}
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(mean=np.asarray(d["mean"], np.float64),
+                   scale=np.asarray(d["scale"], np.float64))
+
+
+def fit_standard_scaler(X: np.ndarray) -> Tuple[ScalerParams, np.ndarray]:
+    X = np.asarray(X, np.float64)
+    mean = X.mean(axis=0)
+    std = X.std(axis=0)
+    scale = np.where(std == 0.0, 1.0, std)
+    params = ScalerParams(mean=mean, scale=scale)
+    return params, (X - mean) / scale
+
+
+# ---------------------------------------------------------------------------
+# Mutual information (continuous feature vs discrete target).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_classes", "n_neighbors"))
+def _mi_classif_device(X: jnp.ndarray, y: jnp.ndarray, n_classes: int,
+                       n_neighbors: int = 3) -> jnp.ndarray:
+    """X: (n, F) float; y: (n,) int32 -> (F,) MI scores."""
+    n, F = X.shape
+    Xt = X.T                                             # (F, n)
+    D = jnp.abs(Xt[:, :, None] - Xt[:, None, :])         # (F, n, n)
+    big = jnp.float32(np.inf)
+
+    onehot = jax.nn.one_hot(y, n_classes, dtype=jnp.float32)   # (n, C)
+    counts = onehot.sum(axis=0)                                 # (C,)
+    label_counts = onehot @ counts                               # (n,)
+    k_all = jnp.minimum(n_neighbors, label_counts - 1.0)         # (n,)
+
+    same = (y[:, None] == y[None, :])                            # (n, n)
+    eye = jnp.eye(n, dtype=bool)
+    D_same = jnp.where(same[None] & ~eye[None], D, big)          # (F, n, n)
+    D_sorted = jnp.sort(D_same, axis=-1)                         # (F, n, n)
+    # k-th same-class neighbour distance (k varies per sample).
+    k_idx = jnp.maximum(k_all, 1.0).astype(jnp.int32) - 1        # (n,)
+    radius = jnp.take_along_axis(
+        D_sorted, k_idx[None, :, None].repeat(F, axis=0), axis=-1)[..., 0]
+    radius = jnp.nextafter(radius.astype(jnp.float32), jnp.float32(0))
+
+    # m_i: all samples (any class, excluding self) within radius_i.
+    within = (D <= radius[:, :, None]) & ~eye[None]              # (F, n, n)
+    m = within.sum(axis=-1).astype(jnp.float32)                  # (F, n)
+
+    valid = label_counts > 1.0                                   # (n,)
+    n_eff = valid.sum().astype(jnp.float32)
+    dg = jax.scipy.special.digamma
+
+    def vmean(v):  # mean over valid samples; v: (..., n)
+        return jnp.where(valid, v, 0.0).sum(axis=-1) / n_eff
+
+    mi = (dg(n_eff) + vmean(dg(jnp.maximum(k_all, 1.0)))
+          - vmean(dg(label_counts)) - vmean(dg(m + 1.0)))
+    return jnp.maximum(mi, 0.0)
+
+
+def mutual_info_classif(X: np.ndarray, y: np.ndarray,
+                        n_neighbors: int = 3,
+                        noise_seed: int = 0) -> np.ndarray:
+    """MI between each column of X and discrete labels y.
+
+    Adds the same 1e-10-scale tie-breaking noise sklearn does, but from a
+    fixed key (deterministic).  Inputs are standardized columns; y may be
+    any label array (strings ok).
+    """
+    X = np.asarray(X, np.float64)
+    _, y_enc = np.unique(np.asarray(y), return_inverse=True)
+    n_classes = int(y_enc.max()) + 1
+    means = np.maximum(1.0, np.mean(np.abs(X), axis=0))
+    rng = np.random.default_rng(noise_seed)
+    Xn = X + 1e-10 * means * rng.standard_normal(X.shape)
+    scores = _mi_classif_device(
+        jnp.asarray(Xn, jnp.float32), jnp.asarray(y_enc, jnp.int32),
+        n_classes, n_neighbors)
+    return np.asarray(scores, np.float64)
+
+
+# ---------------------------------------------------------------------------
+# SelectKBest equivalent.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SelectionModel:
+    """Fitted scaler + selected feature indices (the artifact the reference
+    persists as scaler.joblib + feature_selector.joblib)."""
+    scaler: ScalerParams
+    scores: np.ndarray            # (F,) MI scores of all features
+    selected_indices: np.ndarray  # (k,) sorted ascending
+    feature_names: List[str]
+
+    @property
+    def selected_features(self) -> List[str]:
+        return [self.feature_names[i] for i in self.selected_indices]
+
+    @property
+    def selected_scores(self) -> np.ndarray:
+        return self.scores[self.selected_indices]
+
+    def transform(self, X: np.ndarray) -> np.ndarray:
+        return self.scaler.transform(X)[:, self.selected_indices]
+
+    def to_dict(self):
+        return {
+            "scaler": self.scaler.to_dict(),
+            "scores": self.scores.tolist(),
+            "selected_indices": self.selected_indices.tolist(),
+            "feature_names": list(self.feature_names),
+        }
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(scaler=ScalerParams.from_dict(d["scaler"]),
+                   scores=np.asarray(d["scores"], np.float64),
+                   selected_indices=np.asarray(d["selected_indices"],
+                                               np.int64),
+                   feature_names=list(d["feature_names"]))
+
+
+def top_k_indices(scores: np.ndarray, k: int) -> np.ndarray:
+    """sklearn SelectKBest tie-breaking: stable argsort, take last k, sort."""
+    order = np.argsort(scores, kind="mergesort")
+    return np.sort(order[-k:])
+
+
+def fit_select_kbest(X: np.ndarray, y: np.ndarray,
+                     feature_names: Sequence[str], k: int,
+                     ) -> Tuple[np.ndarray, SelectionModel]:
+    """Standardize, score by MI, keep the k best.
+
+    Returns (X_selected, model) mirroring the reference's
+    ``select_features_kbest`` return contract.
+    """
+    scaler, Xs = fit_standard_scaler(X)
+    scores = mutual_info_classif(Xs, y)
+    idx = top_k_indices(scores, k)
+    model = SelectionModel(scaler=scaler, scores=scores,
+                           selected_indices=idx,
+                           feature_names=list(feature_names))
+    return Xs[:, idx], model

@@ -1,0 +1,365 @@
+"""On-device histogram-split tree ensemble (Random-Forest replacement).
+
+TPU-native substitute for the reference's
+``sklearn.ensemble.RandomForestClassifier`` (reference: src/training/
+train_and_save_model.py:173-185): bootstrap + Gini trees with
+``max_features='sqrt'``, ``min_samples_split=5``, ``min_samples_leaf=2``.
+
+Design (component D5 of SURVEY.md §2.2):
+
+* Features are quantile-binned ONCE per fit (host side, <= 255 candidate
+  thresholds per feature).  When a feature has fewer distinct values than
+  bins — always true for the reference's <=120-sample datasets — binning is
+  exact: every boundary between adjacent sorted values is a candidate, so
+  the split search equals sklearn's exact best-split search.
+* Trees grow breadth-first over a compacted frontier of active nodes.  For
+  every round, one fused segment-sum builds the (node, feature, bin, class)
+  weighted histogram for ALL active nodes of ALL trees at once (vmapped over
+  trees); cumulative sums over bins give every candidate split's child class
+  counts, and the Gini proxy argmax picks the split.  No data-dependent
+  Python control flow — the whole fit is one XLA computation.
+* sklearn-faithful bootstrap semantics: each tree draws n samples with
+  replacement, realised as integer sample weights; ALL samples are routed
+  through the tree.  Gini/leaf probabilities use bootstrap weights while
+  ``min_samples_split``/``min_samples_leaf`` are enforced on unweighted
+  presence counts — exactly sklearn's behaviour with weight-0 samples.
+* Per-node feature subsampling: ``max_features`` features drawn per node
+  (random top-k trick).  Unlike sklearn we do not keep drawing extra
+  features when a drawn one is constant in the node; with continuous
+  standardized features this is an immeasurable difference.
+* Thresholds are midpoints between adjacent occupied global bins (sklearn
+  uses midpoints between adjacent node-local values; the induced training
+  partition is identical — only test points falling inside the skipped
+  value gap can route differently).
+
+Prediction is a vectorized pointer chase over (tree, sample), averaged into
+sklearn-compatible ``predict_proba`` (ties -> lowest class index).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class ForestArrays:
+    """Flat fitted forest: (n_trees, max_nodes) node tables."""
+    feature: np.ndarray      # int32, split feature (valid when not leaf)
+    threshold: np.ndarray    # float32, go left when x <= threshold
+    left: np.ndarray         # int32 child ids (0 when leaf)
+    right: np.ndarray
+    is_leaf: np.ndarray      # bool
+    probs: np.ndarray        # float32 (n_trees, max_nodes, n_classes)
+
+    def to_dict(self):
+        return {k: getattr(self, k).tolist()
+                for k in ("feature", "threshold", "left", "right",
+                          "is_leaf", "probs")}
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(feature=np.asarray(d["feature"], np.int32),
+                   threshold=np.asarray(d["threshold"], np.float32),
+                   left=np.asarray(d["left"], np.int32),
+                   right=np.asarray(d["right"], np.int32),
+                   is_leaf=np.asarray(d["is_leaf"], bool),
+                   probs=np.asarray(d["probs"], np.float32))
+
+
+def _bin_features(X: np.ndarray, max_bins: int
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Quantile binning. Returns (binned (n,F) int32, thresholds (F, max_bins-1)
+    float32 padded with +inf, n_thresholds (F,) int32).
+
+    bin b collects values in (thr[b-1], thr[b]]-style intervals:
+    binned = searchsorted(thr, x, side='left') so x <= thr[b] -> bin <= b.
+    """
+    n, F = X.shape
+    thr = np.full((F, max_bins - 1), np.inf, np.float32)
+    nthr = np.zeros(F, np.int32)
+    binned = np.zeros((n, F), np.int32)
+    for f in range(F):
+        u = np.unique(X[:, f])
+        if len(u) > max_bins:
+            qs = np.linspace(0, 1, max_bins + 1)[1:-1]
+            u = np.unique(np.quantile(X[:, f], qs, method="nearest"))
+        mids = (u[:-1] + u[1:]) / 2.0
+        k = len(mids)
+        thr[f, :k] = mids
+        nthr[f] = k
+        binned[:, f] = np.searchsorted(mids, X[:, f], side="left")
+    return binned, thr, nthr
+
+
+class TreeEnsembleClassifier:
+    """sklearn-RF-compatible API over the JAX histogram-split ensemble."""
+
+    def __init__(self, n_estimators: int = 50, max_features: str = "sqrt",
+                 min_samples_split: int = 5, min_samples_leaf: int = 2,
+                 max_depth: int = 24, max_bins: int = 256,
+                 max_active: int = 128, bootstrap: bool = True,
+                 random_state: int = 42):
+        self.n_estimators = n_estimators
+        self.max_features = max_features
+        self.min_samples_split = min_samples_split
+        self.min_samples_leaf = min_samples_leaf
+        self.max_depth = max_depth
+        self.max_bins = max_bins
+        self.max_active = max_active
+        self.bootstrap = bootstrap
+        self.random_state = random_state
+        self.classes_: Optional[np.ndarray] = None
+        self.forest_: Optional[ForestArrays] = None
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self, X, y):
+        X = np.asarray(X, np.float32)
+        y = np.asarray(y)
+        self.classes_, y_enc = np.unique(y, return_inverse=True)
+        n, F = X.shape
+        C = len(self.classes_)
+        if self.max_features == "sqrt":
+            mf = max(1, int(math.sqrt(F)))
+        elif self.max_features in (None, "all"):
+            mf = F
+        else:
+            mf = max(1, int(self.max_features))
+        max_bins = min(self.max_bins, max(2, n + 1))
+        binned, thr, nthr = _bin_features(X, max_bins)
+
+        depth = min(self.max_depth, max(1, n // self.min_samples_leaf))
+        max_nodes = 2 * min(2 ** depth, max(n, 2)) + 1
+
+        fitted = _fit_forest(
+            jnp.asarray(binned), jnp.asarray(thr), jnp.asarray(nthr),
+            jnp.asarray(y_enc, jnp.int32),
+            n_trees=self.n_estimators, n_classes=C, max_features=mf,
+            min_samples_split=self.min_samples_split,
+            min_samples_leaf=self.min_samples_leaf,
+            max_depth=depth, max_active=self.max_active,
+            max_nodes=max_nodes, bootstrap=self.bootstrap,
+            seed=self.random_state)
+        self.forest_ = ForestArrays(*[np.asarray(a) for a in fitted])
+        return self
+
+    # -------------------------------------------------------------- predict
+
+    def predict_proba(self, X) -> np.ndarray:
+        f = self.forest_
+        out = _predict_forest(
+            jnp.asarray(np.asarray(X, np.float32)),
+            jnp.asarray(f.feature), jnp.asarray(f.threshold),
+            jnp.asarray(f.left), jnp.asarray(f.right),
+            jnp.asarray(f.is_leaf), jnp.asarray(f.probs),
+            max_depth=f.feature.shape[1])
+        return np.asarray(out)
+
+    def predict(self, X) -> np.ndarray:
+        proba = self.predict_proba(X)
+        return self.classes_[np.argmax(proba, axis=1)]
+
+    def score(self, X, y) -> float:
+        return float(np.mean(self.predict(X) == np.asarray(y)))
+
+
+# ---------------------------------------------------------------------------
+# Jitted fit / predict kernels.
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_trees", "n_classes", "max_features",
+                     "min_samples_split", "min_samples_leaf", "max_depth",
+                     "max_active", "max_nodes", "bootstrap"))
+def _fit_forest(binned, thr, nthr, y, *, n_trees, n_classes, max_features,
+                min_samples_split, min_samples_leaf, max_depth, max_active,
+                max_nodes, bootstrap, seed):
+    n, F = binned.shape
+    B = thr.shape[1] + 1                       # bins per feature
+    onehot = jax.nn.one_hot(y, n_classes, dtype=jnp.float32)   # (n, C)
+    valid_thr = (jax.lax.broadcasted_iota(jnp.int32, (F, B - 1), 1)
+                 < nthr[:, None])              # (F, B-1) candidate mask
+
+    def fit_one(key):
+        if bootstrap:
+            idx = jax.random.randint(key, (n,), 0, n)
+            w = jnp.zeros(n, jnp.float32).at[idx].add(1.0)
+        else:
+            w = jnp.ones(n, jnp.float32)
+
+        feature = jnp.zeros(max_nodes, jnp.int32)
+        threshold = jnp.zeros(max_nodes, jnp.float32)
+        left = jnp.zeros(max_nodes, jnp.int32)
+        right = jnp.zeros(max_nodes, jnp.int32)
+        is_leaf = jnp.zeros(max_nodes, bool)
+        probs = jnp.zeros((max_nodes, n_classes), jnp.float32)
+
+        node_of = jnp.zeros(n, jnp.int32)       # global node id per sample
+        frontier = jnp.full(max_active, -1, jnp.int32).at[0].set(0)
+        n_frontier = jnp.int32(1)
+        next_free = jnp.int32(1)
+
+        state = (feature, threshold, left, right, is_leaf, probs,
+                 node_of, frontier, n_frontier, next_free, key)
+
+        def round_body(d, state):
+            (feature, threshold, left, right, is_leaf, probs,
+             node_of, frontier, n_frontier, next_free, key) = state
+            key, ksub = jax.random.split(key)
+
+            # Slot of each sample's node within the frontier (-1 if none).
+            slot_of_node = jnp.full(max_nodes, -1, jnp.int32)
+            fslots = jax.lax.broadcasted_iota(jnp.int32, (max_active, 1),
+                                              0)[:, 0]
+            slot_of_node = slot_of_node.at[
+                jnp.where(frontier >= 0, frontier, max_nodes)].set(
+                fslots, mode="drop")    # invalid slots -> OOB, dropped
+            slot = slot_of_node[node_of]                     # (n,)
+            active_sample = slot >= 0
+
+            # Histograms over (slot, feature, bin): weighted class counts
+            # and unweighted presence counts, in one segment-sum.
+            seg = jnp.where(active_sample[:, None],
+                            (slot[:, None] * F
+                             + jax.lax.broadcasted_iota(jnp.int32, (n, F), 1))
+                            * B + binned,
+                            max_active * F * B)              # (n, F)
+            data = jnp.concatenate(
+                [onehot * w[:, None], jnp.ones((n, 1), jnp.float32)], axis=1)
+            data = jnp.broadcast_to(data[:, None, :], (n, F, n_classes + 1))
+            hist = jax.ops.segment_sum(
+                data.reshape(n * F, n_classes + 1), seg.reshape(n * F),
+                num_segments=max_active * F * B + 1)[:-1]
+            hist = hist.reshape(max_active, F, B, n_classes + 1)
+            whist, phist = hist[..., :n_classes], hist[..., n_classes]
+
+            # Candidate splits: left = bins <= b for b in 0..B-2.
+            cw = jnp.cumsum(whist, axis=2)[:, :, :-1, :]     # (K,F,B-1,C)
+            cp = jnp.cumsum(phist, axis=2)[:, :, :-1]        # (K,F,B-1)
+            totw = jnp.sum(whist, axis=2)                    # (K,F,C)
+            totp = jnp.sum(phist, axis=2)                    # (K,F)
+            rw = totw[:, :, None, :] - cw
+            rp = totp[:, :, None] - cp
+            nl = jnp.sum(cw, axis=-1)
+            nr = jnp.sum(rw, axis=-1)
+            # Gini proxy to maximize: sum_c l_c^2/n_l + sum_c r_c^2/n_r.
+            proxy = (jnp.sum(cw * cw, axis=-1) / jnp.maximum(nl, 1e-12)
+                     + jnp.sum(rw * rw, axis=-1) / jnp.maximum(nr, 1e-12))
+            ok = ((cp >= min_samples_leaf) & (rp >= min_samples_leaf)
+                  & valid_thr[None])
+            # Per-node random feature subset of size max_features.
+            u = jax.random.uniform(ksub, (max_active, F))
+            kth = jnp.sort(u, axis=1)[:, max_features - 1]
+            fmask = u <= kth[:, None]                        # (K, F)
+            score = jnp.where(ok & fmask[:, :, None], proxy, -jnp.inf)
+            flat = score.reshape(max_active, F * (B - 1))
+            best = jnp.argmax(flat, axis=1)
+            best_gain = jnp.take_along_axis(flat, best[:, None], 1)[:, 0]
+            best_f = best // (B - 1)
+            best_b = best % (B - 1)
+
+            # Total class weights / presence of each node (feature 0's
+            # histogram sums over bins to the node totals).
+            node_w = totw[:, 0, :]
+            node_p = totp[:, 0]
+            wsum = jnp.sum(node_w, axis=1)
+            pure = (jnp.max(node_w, axis=1) >= wsum - 1e-9)
+            can_split = ((frontier >= 0)
+                         & (node_p >= min_samples_split)
+                         & ~pure
+                         & jnp.isfinite(best_gain)
+                         & (d < max_depth))
+
+            # Children allocation via compaction.
+            split_idx = jnp.cumsum(can_split.astype(jnp.int32)) - 1
+            cap_ok = (next_free + 2 * (split_idx + 1) <= max_nodes) & \
+                     (2 * (split_idx + 1) <= max_active)
+            do_split = can_split & cap_ok
+            split_idx = jnp.cumsum(do_split.astype(jnp.int32)) - 1
+            lchild = next_free + 2 * split_idx
+            rchild = lchild + 1
+
+            # Write node table entries for the frontier.
+            safe_nodes = jnp.where(frontier >= 0, frontier, max_nodes - 1)
+            write = frontier >= 0
+            sel_thr = thr[best_f, best_b]
+            feature = feature.at[safe_nodes].set(
+                jnp.where(write, jnp.where(do_split, best_f, 0),
+                          feature[safe_nodes]))
+            threshold = threshold.at[safe_nodes].set(
+                jnp.where(write, jnp.where(do_split, sel_thr, 0.0),
+                          threshold[safe_nodes]))
+            left = left.at[safe_nodes].set(
+                jnp.where(write & do_split, lchild, left[safe_nodes]))
+            right = right.at[safe_nodes].set(
+                jnp.where(write & do_split, rchild, right[safe_nodes]))
+            is_leaf = is_leaf.at[safe_nodes].set(
+                jnp.where(write, ~do_split, is_leaf[safe_nodes]))
+            leaf_probs = node_w / jnp.maximum(wsum, 1e-12)[:, None]
+            probs = probs.at[safe_nodes].set(
+                jnp.where(write[:, None], leaf_probs, probs[safe_nodes]))
+
+            # Route samples of split nodes to children.
+            sf = jnp.where(slot >= 0, best_f[jnp.maximum(slot, 0)], 0)
+            sb = jnp.where(slot >= 0, best_b[jnp.maximum(slot, 0)], 0)
+            s_split = (slot >= 0) & do_split[jnp.maximum(slot, 0)]
+            go_left = jnp.take_along_axis(
+                binned, sf[:, None], axis=1)[:, 0] <= sb
+            child = jnp.where(go_left, lchild[jnp.maximum(slot, 0)],
+                              rchild[jnp.maximum(slot, 0)])
+            node_of = jnp.where(s_split, child, node_of)
+
+            # New frontier = all children, compacted.
+            n_split = jnp.sum(do_split.astype(jnp.int32))
+            new_frontier = jnp.full(max_active, -1, jnp.int32)
+            pos = 2 * split_idx
+            new_frontier = new_frontier.at[
+                jnp.where(do_split, pos, max_active)].set(
+                lchild, mode="drop")
+            new_frontier = new_frontier.at[
+                jnp.where(do_split, pos + 1, max_active)].set(
+                rchild, mode="drop")
+            n_frontier = 2 * n_split
+            next_free = next_free + 2 * n_split
+
+            return (feature, threshold, left, right, is_leaf, probs,
+                    node_of, new_frontier, n_frontier, next_free, key)
+
+        state = jax.lax.fori_loop(0, max_depth + 1, round_body, state)
+        (feature, threshold, left, right, is_leaf, probs,
+         *_rest) = state
+        return feature, threshold, left, right, is_leaf, probs
+
+    keys = jax.vmap(
+        lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i))(
+        jnp.arange(n_trees))
+    return jax.vmap(fit_one)(keys)
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def _predict_forest(X, feature, threshold, left, right, is_leaf, probs,
+                    max_depth):
+    """X: (m, F) -> (m, C) averaged class probabilities."""
+    def one_tree(feat, thr, lft, rgt, leaf, prb):
+        def step(_, node):
+            f = feat[node]
+            t = thr[node]
+            x = jnp.take_along_axis(X, f[:, None], axis=1)[:, 0]
+            nxt = jnp.where(x <= t, lft[node], rgt[node])
+            return jnp.where(leaf[node], node, nxt)
+
+        node = jnp.zeros(X.shape[0], jnp.int32)
+        node = jax.lax.fori_loop(0, max_depth + 1, step, node)
+        return prb[node]                        # (m, C)
+
+    all_probs = jax.vmap(one_tree)(feature, threshold, left, right,
+                                   is_leaf, probs)  # (T, m, C)
+    return jnp.mean(all_probs, axis=0)
