@@ -1,0 +1,104 @@
+"""Inference engine: path auto-detection, batched predict, evaluation
+schema, and outputs (CSV/JSON/PNG) against a trained synthetic cell."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from wst_tpu.data.dataset import make_synthetic_dataset
+from wst_tpu.infer.inference import ModelInference, parse_model_directory
+from wst_tpu.train.trainer import run_experiment
+from wst_tpu.utils.config import ExperimentConfig
+
+
+def test_parse_corpus_convention():
+    info = parse_model_directory(
+        "/exp/rgb_clean/sunset/small/k20/hybrid")
+    assert info == {"area_name": "sunset", "feature_method": "hybrid",
+                    "dataset_type": "small"}
+
+
+def test_parse_legacy_convention():
+    info = parse_model_directory(
+        "/exp/rgb_kbest/experiments/advanced_stats_original_k5_popolar")
+    assert info["area_name"] == "popolar"
+    assert info["feature_method"] == "advanced_stats"
+    assert info["dataset_type"] == "original"
+
+
+@pytest.fixture(scope="module")
+def trained_cell(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    ds = make_synthetic_dataset(root, size="mini", hw=(32, 32), seed=3,
+                                areas=("popolar",))
+    out = str(tmp_path_factory.mktemp("exp") / "popolar" / "mini" / "k5"
+              / "advanced_stats")
+    cfg = ExperimentConfig(dataset_path=ds, area_name="popolar",
+                           feature_method="advanced_stats", k_features=5,
+                           output_dir=out)
+    run_experiment(cfg, verbose=False)
+    return ds, out
+
+
+def test_inference_end_to_end(trained_cell, tmp_path):
+    ds, model_dir = trained_cell
+    inf = ModelInference(model_dir)
+    assert inf.area_name == "popolar"
+    assert inf.feature_method == "advanced_stats"
+    assert inf.dataset_type == "mini"
+
+    df, n = inf.predict_dataset(dataset_dir=ds)
+    assert n == 15
+    assert set(df["predicted_label"]) <= {"garden", "low_veg", "trees"}
+    assert ((df["confidence"] > 0) & (df["confidence"] <= 1)).all()
+    prob_cols = [c for c in df.columns if c.startswith("prob_")]
+    np.testing.assert_allclose(df[prob_cols].sum(axis=1), 1.0, atol=1e-5)
+
+    ev = inf.evaluate_predictions(df)
+    assert ev["total_predictions"] == 15
+    assert 0 <= ev["overall_accuracy"] <= 1
+    assert set(ev["per_class_accuracy"]) == {"garden", "low_veg", "trees"}
+    # synthetic classes are separable; the model must actually work
+    assert ev["overall_accuracy"] >= 0.6
+
+    outdir = tmp_path / "results"
+    inf.save_results(df, ev, outdir)
+    suffix = "popolar_mini_advanced_stats"
+    assert (outdir / f"inference_results_{suffix}.csv").exists()
+    assert (outdir / f"confusion_matrix_{suffix}.png").exists()
+    with open(outdir / f"evaluation_summary_{suffix}.json") as f:
+        summary = json.load(f)
+    assert summary["configuration"]["area_name"] == "popolar"
+    assert np.asarray(summary["confusion_matrix"]).shape == (3, 3)
+
+
+def test_sampling(trained_cell):
+    ds, model_dir = trained_cell
+    inf = ModelInference(model_dir)
+    df, n = inf.predict_dataset(dataset_dir=ds, sample_per_class=2)
+    assert n == 6
+    # deterministic under fixed seed
+    df2, _ = inf.predict_dataset(dataset_dir=ds, sample_per_class=2)
+    assert list(df["image_path"]) == list(df2["image_path"])
+
+
+def test_single_image(trained_cell):
+    ds, model_dir = trained_cell
+    inf = ModelInference(model_dir)
+    some_png = next(
+        os.path.join(r, f) for r, _, fs in os.walk(ds) for f in fs
+        if f.endswith(".png"))
+    res = inf.predict_single_image(some_png)
+    assert res["success"] and res["predicted_class"] in inf.classes_
+    bad = inf.predict_single_image("/nonexistent.png")
+    assert not bad["success"] and "error" in bad
+
+
+def test_missing_dataset_registry(trained_cell, tmp_path):
+    _, model_dir = trained_cell
+    inf = ModelInference(model_dir)
+    inf.report["config"]["dataset_path"] = "/nonexistent"
+    with pytest.raises(ValueError):
+        inf.get_dataset_path("weird_type")
