@@ -1,0 +1,51 @@
+"""Visualization layer: patterns, dashboards, comparison, verify_output."""
+
+import numpy as np
+
+from wst_tpu.viz.visualize import (compare_wst_coefficients,
+                                   create_comparison_dashboard,
+                                   create_overall_comparison,
+                                   generate_test_patterns, verify_output,
+                                   visualize_advanced_stats, visualize_wst)
+
+
+def test_patterns():
+    pats = generate_test_patterns(32)
+    assert len(pats) == 7
+    for name, p in pats.items():
+        assert p.shape == (32, 32) and p.dtype == np.float32
+        assert 0.0 <= p.min() and p.max() <= 1.0
+    # deterministic
+    pats2 = generate_test_patterns(32)
+    np.testing.assert_array_equal(pats["random_texture"],
+                                  pats2["random_texture"])
+
+
+def test_full_visualization_flow(tmp_path):
+    pats = generate_test_patterns(32)
+    subset = {k: pats[k] for k in ["checkerboard", "edge"]}
+    for name, p in subset.items():
+        assert visualize_advanced_stats(p, name, tmp_path)
+        assert visualize_wst(p, name, tmp_path)
+        assert create_comparison_dashboard(p, name, tmp_path)
+    assert create_overall_comparison(subset, tmp_path)
+    present, missing = verify_output(tmp_path, sorted(subset))
+    assert missing == []
+    assert len(present) == 1 + 3 * 2
+
+
+def test_verify_reports_missing(tmp_path):
+    present, missing = verify_output(tmp_path, ["checkerboard"])
+    assert present == [] and len(missing) == 4
+
+
+def test_compare_wst_coefficients(tmp_path, rng):
+    clean = rng.random((32, 32)).astype(np.float32)
+    noisy = np.clip(clean + rng.normal(0, 0.3, clean.shape), 0, 1
+                    ).astype(np.float32)
+    res = compare_wst_coefficients(clean, noisy, tmp_path, J=3, L=4)
+    assert set(res) == {"order0", "order1", "order2", "figure"}
+    # additive noise raises order-1 energy of a random texture
+    assert res["order1"]["noisy_mean"] != res["order1"]["clean_mean"]
+    import os
+    assert os.path.getsize(res["figure"]) > 1000

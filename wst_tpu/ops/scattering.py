@@ -86,10 +86,16 @@ class _MatmulBackend:
     small transform sizes of the scattering cascade (~68..272 points) they
     outperform a generic FFT while keeping the whole cascade in one fused
     XLA computation.
+
+    DFT matrices are injected per-trace via :meth:`set_mats` so they enter
+    the jitted program as parameters, not giant inline constants.
     """
 
     def __init__(self):
         self._cache: Dict[int, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+
+    def set_mats(self, mats: Dict[int, Tuple[jnp.ndarray, jnp.ndarray]]):
+        self._cache = dict(mats)
 
     def _mats(self, n: int):
         if n not in self._cache:
@@ -191,9 +197,26 @@ class Scattering2D:
         if self.mode not in ("fft", "matmul"):
             raise ValueError(f"unknown scattering mode: {self.mode}")
         self._backend = _FFTBackend() if self.mode == "fft" else _MatmulBackend()
-        # Filters as device-ready jnp constants (closed over by the jit).
-        self._psi = {k: jnp.asarray(v) for k, v in self.bank.psi_f.items()}
-        self._phi = {k: jnp.asarray(v) for k, v in self.bank.phi_f.items()}
+        # Filters (and, in matmul mode, DFT matrices) are passed to the
+        # jitted function as pytree ARGUMENTS, not closed-over constants:
+        # this keeps the HLO small (fast compiles, especially over remote
+        # PJRT tunnels) and lets XLA keep one device-resident copy.
+        params = {
+            "psi": {f"{j}_{res}": jnp.asarray(v)
+                    for (j, res), v in self.bank.psi_f.items()},
+            "phi": {str(res): jnp.asarray(v)
+                    for res, v in self.bank.phi_f.items()},
+            "dft": {},
+        }
+        if self.mode == "matmul":
+            sizes = set()
+            for r in range(self.bank.J + 1):
+                sizes.add(self.bank.M_pad // 2 ** r)
+                sizes.add(self.bank.N_pad // 2 ** r)
+            for n in sorted(sizes):
+                c, s = _dft_mats(n)
+                params["dft"][str(n)] = (jnp.asarray(c), jnp.asarray(s))
+        self._params = params
         self._apply = jax.jit(self._scatter_batch)
         self._apply_feats = jax.jit(self._features_batch)
 
@@ -211,7 +234,7 @@ class Scattering2D:
         """x: (..., H, W) -> (..., n_coeffs, H/2^J, W/2^J)."""
         lead = x.shape[:-2]
         xb = x.reshape((-1,) + x.shape[-2:])
-        out = self._apply(xb)
+        out = self._apply(xb, self._params)
         return out.reshape(lead + out.shape[1:])
 
     def features(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -224,7 +247,7 @@ class Scattering2D:
         """
         lead = x.shape[:-2]
         xb = x.reshape((-1,) + x.shape[-2:])
-        out = self._apply_feats(xb)
+        out = self._apply_feats(xb, self._params)
         return out.reshape(lead + out.shape[1:])
 
     # -- implementation -----------------------------------------------------
@@ -240,9 +263,14 @@ class Scattering2D:
     def _unpad(x):
         return x[..., 1:-1, 1:-1]
 
-    def _scatter_batch(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _scatter_batch(self, x: jnp.ndarray, params) -> jnp.ndarray:
         """x: (B, H, W) float32 -> (B, n_coeffs, h, w) float32."""
         be = self._backend
+        if self.mode == "matmul":
+            be.set_mats({int(k): v for k, v in params["dft"].items()})
+        psi = {tuple(map(int, k.split("_"))): v
+               for k, v in params["psi"].items()}
+        phi = {int(k): v for k, v in params["phi"].items()}
         J, L = self.bank.J, self.bank.L
         B = x.shape[0]
         h, w = self.bank.out_hw
@@ -251,7 +279,7 @@ class Scattering2D:
 
         # Zeroth order.
         S0 = self._unpad(be.ifft2_real(
-            be.subsample(be.mul_filter(X, self._phi[0]), 2 ** J)))
+            be.subsample(be.mul_filter(X, phi[0]), 2 ** J)))
         blocks = [S0[:, None]]
 
         # First order: all L orientations of scale j1 at once.
@@ -260,13 +288,13 @@ class Scattering2D:
         for j1 in range(J):
             Xe = (X[:, None] if self.mode == "fft"
                   else (X[0][:, None], X[1][:, None]))
-            Y = be.mul_filter(Xe, self._psi[(j1, 0)][None])
+            Y = be.mul_filter(Xe, psi[(j1, 0)][None])
             Y = be.subsample(Y, 2 ** j1)
             U1 = be.modulus(be.ifft2(Y))            # (B, L, m, n) real
             U1h = be.fft2_real(U1)
             u1_hat[j1] = U1h
             S1 = self._unpad(be.ifft2_real(
-                be.subsample(be.mul_filter(U1h, self._phi[j1]),
+                be.subsample(be.mul_filter(U1h, phi[j1]),
                              2 ** (J - j1))))
             s1_blocks.append(S1)
         blocks.extend(s1_blocks)
@@ -279,12 +307,12 @@ class Scattering2D:
                     U1h = u1_hat[j1]
                     U1e = (U1h[:, :, None] if self.mode == "fft"
                            else (U1h[0][:, :, None], U1h[1][:, :, None]))
-                    Y = be.mul_filter(U1e, self._psi[(j2, j1)][None, None])
+                    Y = be.mul_filter(U1e, psi[(j2, j1)][None, None])
                     Y = be.subsample(Y, 2 ** (j2 - j1))
                     U2 = be.modulus(be.ifft2(Y))
                     U2h = be.fft2_real(U2)
                     S2 = self._unpad(be.ifft2_real(
-                        be.subsample(be.mul_filter(U2h, self._phi[j2]),
+                        be.subsample(be.mul_filter(U2h, phi[j2]),
                                      2 ** (J - j2))))
                     per_j2.append(S2)                # (B, L, L, h, w)
                 # Reference path order within fixed j1: [theta1][j2][theta2].
@@ -293,8 +321,8 @@ class Scattering2D:
 
         return jnp.concatenate(blocks, axis=1)
 
-    def _features_batch(self, x: jnp.ndarray) -> jnp.ndarray:
-        S = self._scatter_batch(x)                   # (B, K, h, w)
+    def _features_batch(self, x: jnp.ndarray, params) -> jnp.ndarray:
+        S = self._scatter_batch(x, params)                   # (B, K, h, w)
         mean = jnp.mean(S, axis=(-2, -1))
         std = jnp.std(S, axis=(-2, -1))
         return jnp.concatenate([mean, std], axis=-1)  # (B, 2K)

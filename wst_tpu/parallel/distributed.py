@@ -87,7 +87,8 @@ class DistributedTrainer:
                 parts.append(advanced_stats(images))
             if method in ("wst", "hybrid"):
                 f = self._scattering._features_batch(
-                    images.reshape((-1,) + images.shape[-2:]))
+                    images.reshape((-1,) + images.shape[-2:]),
+                    self._scattering._params)
                 parts.append(f.reshape(images.shape[0], -1))
             X = parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
             return dshard(X)
