@@ -537,9 +537,13 @@ class NoiseExperimentAnalyzer:
         det = self.create_detailed_plots(out)
         csvs = self.export_to_csv(out)
         summary = self.create_analysis_summary(out)
+        from wst_tpu.analysis.stats_tests import write_significance_report
+        sig = write_significance_report(self.df,
+                                        out / "significance_report.md")
         return {"output_dir": str(out), "n_experiments": len(self.df),
                 "comparison_plots": comp, "detailed_plots": det,
-                "csv_files": csvs, "summary": summary}
+                "csv_files": csvs, "summary": summary,
+                "significance": sig}
 
 
 def main(argv=None):

@@ -1,0 +1,125 @@
+"""Full-scene tiled sliding-window inference (BASELINE.json config 5).
+
+The reference only ever classifies pre-cut 128x128 patches; scaling to a
+complete remote-sensing raster is this framework's counterpart to sequence
+parallelism (SURVEY.md §5, long-context): the scene is tiled into a patch
+grid (optionally strided/overlapping), patches are sharded over the device
+mesh's combined (data, model) axes, scattering features and classification
+run on device, and the per-patch labels are reassembled into a class map.
+
+WST patches are independent (no halo exchange needed), so scene-space
+sharding is embarrassingly parallel: the only collectives are the implicit
+all-gathers XLA inserts when the label map is assembled.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wst_tpu.features.extractor import FeatureExtractor
+from wst_tpu.features.selection import SelectionModel
+from wst_tpu.models.forest import TreeEnsembleClassifier, _predict_forest
+from wst_tpu.parallel.mesh import make_mesh
+
+
+def tile_scene(scene: np.ndarray, patch: int, stride: Optional[int] = None
+               ) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """scene: (3, H, W) -> (n_tiles, 3, patch, patch), grid (rows, cols).
+
+    Edge tiles are clamped inward so every tile is full-size (the standard
+    remote-sensing sliding-window convention).
+    """
+    stride = stride or patch
+    C, H, W = scene.shape
+    if H < patch or W < patch:
+        raise ValueError(f"scene {H}x{W} smaller than patch {patch}")
+    ys = list(range(0, H - patch + 1, stride))
+    xs = list(range(0, W - patch + 1, stride))
+    if ys[-1] != H - patch:
+        ys.append(H - patch)
+    if xs[-1] != W - patch:
+        xs.append(W - patch)
+    tiles = np.stack([scene[:, y:y + patch, x:x + patch]
+                      for y in ys for x in xs])
+    return tiles, (len(ys), len(xs))
+
+
+class SceneClassifier:
+    """Classify a full raster with a trained experiment cell, on a mesh."""
+
+    def __init__(self, model: TreeEnsembleClassifier,
+                 selection: SelectionModel, method: str, patch: int = 128,
+                 J: int = 2, L: int = 8, mesh=None,
+                 batch_size: int = 256):
+        self.model, self.selection = model, selection
+        self.patch = patch
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.batch_size = batch_size
+        self.fx = FeatureExtractor(method, patch, patch, J, L)
+
+        f = model.forest_
+        scaler_mean = jnp.asarray(selection.scaler.mean, jnp.float32)
+        scaler_scale = jnp.asarray(selection.scaler.scale, jnp.float32)
+        sel_idx = jnp.asarray(selection.selected_indices, jnp.int32)
+        forest = tuple(jnp.asarray(a) for a in
+                       (f.feature, f.threshold, f.left, f.right, f.is_leaf,
+                        f.probs))
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dsh = NamedSharding(self.mesh, P(("data", "model")))
+
+        def step(tiles):  # (B, 3, p, p) float32 -> (B,) class ids, (B,) conf
+            tiles = jax.lax.with_sharding_constraint(tiles, dsh)
+            X = self.fx(tiles)
+            Xs = (X - scaler_mean) / scaler_scale
+            Xsel = Xs[:, sel_idx]
+            proba = _predict_forest(Xsel, *forest,
+                                    max_depth=f.feature.shape[1])
+            return jnp.argmax(proba, axis=1), jnp.max(proba, axis=1)
+
+        self._step = jax.jit(step)
+
+    def classify(self, scene: np.ndarray, stride: Optional[int] = None
+                 ) -> Dict[str, np.ndarray]:
+        """scene: (3, H, W) float32 in [0,1] -> dict with 'class_map'
+        (rows, cols) of class indices, 'confidence' and 'labels'."""
+        tiles, grid = tile_scene(scene, self.patch, stride)
+        n = len(tiles)
+        bs = self.batch_size
+        pad = (-n) % bs if n > bs else bs - n
+        if pad:
+            tiles = np.concatenate(
+                [tiles, np.repeat(tiles[-1:], pad, axis=0)])
+        ids, confs = [], []
+        with self.mesh:
+            for i in range(0, len(tiles), bs):
+                a, c = self._step(jnp.asarray(tiles[i:i + bs]))
+                ids.append(np.asarray(a))
+                confs.append(np.asarray(c))
+        ids = np.concatenate(ids)[:n].reshape(grid)
+        confs = np.concatenate(confs)[:n].reshape(grid)
+        return {"class_map": ids, "confidence": confs,
+                "labels": np.asarray(self.model.classes_),
+                "grid": grid}
+
+    def throughput(self, n_tiles: int = 512, iters: int = 5
+                   ) -> float:
+        """Patches/sec on synthetic tiles (benchmark helper)."""
+        import time
+        rng = np.random.default_rng(0)
+        tiles = jnp.asarray(rng.random(
+            (self.batch_size, 3, self.patch, self.patch), dtype=np.float32))
+        with self.mesh:
+            out = self._step(tiles)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = self._step(tiles)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / iters
+        return self.batch_size / dt
