@@ -6,8 +6,12 @@ Prints ONE JSON line:
 
 Baseline: the reference's CPU pipeline at ~0.5 s per 128x128 RGB patch for
 the order-2 WST descriptor (reference: src/visualization/
-visualize_features.py:653 and the per-image kymatio rebuild in
+visualize_features.py:653 and the per-image kymatio filter-bank rebuild in
 src/training/train_and_save_model.py:359), i.e. ~2 patches/s.
+
+Measures both the XLA DFT-matmul path and the fused Pallas kernel (on TPU)
+and reports the best; secondary lines (speed-of-light accounting, per-path
+numbers) go to stderr.
 """
 
 import json
@@ -17,45 +21,80 @@ import time
 import numpy as np
 
 BASELINE_PATCHES_PER_S = 2.0  # reference CPU: ~0.5 s/patch (WST, 128x128 RGB)
+H = W = 128
+L = 8
 
 
-def bench_scattering(batch: int, iters: int, mode=None):
+def _steady(fn, arg, iters):
     import jax
-    from wst_tpu.ops.scattering import Scattering2D
-
-    sc = Scattering2D(J=2, L=8, H=128, W=128, mode=mode)
-    rng = np.random.default_rng(0)
-    x = rng.random((batch, 3, 128, 128), dtype=np.float32)
-    xd = jax.device_put(x)
-
-    out = sc.features(xd)       # compile + warmup
+    out = fn(arg)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = sc.features(xd)
+        out = fn(arg)
     jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt, dt
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_xla(batch: int, iters: int):
+    import jax
+    from wst_tpu.ops.scattering import Scattering2D
+    sc = Scattering2D(J=2, L=L, H=H, W=W)
+    x = jax.device_put(np.random.default_rng(0).random(
+        (batch, 3, H, W), dtype=np.float32))
+    dt = _steady(sc.features, x, iters)
+    return batch / dt
+
+
+def bench_pallas(batch: int, iters: int):
+    import jax
+    from wst_tpu.ops.pallas.fused_scattering import (fused_scattering_j2,
+                                                     pallas_available)
+    if not pallas_available():
+        return None
+    f = fused_scattering_j2(L, H, W)
+    x = jax.device_put(np.random.default_rng(0).random(
+        (batch * 3, H, W), dtype=np.float32))
+    dt = _steady(f.features, x, iters)
+    return batch / dt
 
 
 def main():
     import jax
 
     platform = jax.devices()[0].platform
-    best = 0.0
-    best_cfg = None
-    batches = [32, 64, 128] if platform != "cpu" else [16]
-    iters = 10 if platform != "cpu" else 2
+    on_tpu = platform != "cpu"
+    iters = 10 if on_tpu else 2
+    batches = [128] if on_tpu else [16]
+
+    candidates = {}
     for batch in batches:
         try:
-            pps, dt = bench_scattering(batch, iters)
-            print(f"# batch={batch}: {pps:.1f} patches/s "
-                  f"({dt*1e3:.1f} ms/batch) on {platform}", file=sys.stderr)
-            if pps > best:
-                best, best_cfg = pps, batch
+            candidates[f"xla_matmul_b{batch}"] = bench_xla(batch, iters)
         except Exception as e:
-            print(f"# batch={batch} failed: {e}", file=sys.stderr)
+            print(f"# xla b={batch} failed: {e}", file=sys.stderr)
+        if on_tpu:
+            try:
+                pps = bench_pallas(batch, iters)
+                if pps:
+                    candidates[f"pallas_fused_b{batch}"] = pps
+            except Exception as e:
+                print(f"# pallas b={batch} failed: {e}", file=sys.stderr)
 
+    for name, pps in sorted(candidates.items()):
+        print(f"# {name}: {pps:.1f} patches/s on {platform}",
+              file=sys.stderr)
+    try:
+        from wst_tpu.utils.profiling import flop_estimate_scattering
+        flops = flop_estimate_scattering(2, L, H, W) * 3  # per RGB patch
+        best_pps = max(candidates.values()) if candidates else 0.0
+        print(f"# cascade ~{flops/1e9:.2f} GFLOP/patch -> "
+              f"{best_pps*flops/1e12:.2f} TFLOP/s sustained",
+              file=sys.stderr)
+    except Exception:
+        pass
+
+    best = max(candidates.values()) if candidates else 0.0
     print(json.dumps({
         "metric": "wst_patches_per_sec_per_chip_J2_L8_128px",
         "value": round(best, 2),

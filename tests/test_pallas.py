@@ -1,0 +1,58 @@
+"""Pallas fused-cascade kernel vs the jnp scattering path (interpret mode
+on CPU; the same kernel compiles with Mosaic on real TPU — validated in
+bench runs)."""
+
+import jax
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def interpreted_pallas(monkeypatch):
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    # clear the compile cache so the patched pallas_call is used
+    from wst_tpu.ops.pallas import fused_scattering
+    fused_scattering._compiled.cache_clear()
+    yield
+    fused_scattering._compiled.cache_clear()
+
+
+def test_fused_matches_reference(interpreted_pallas, rng):
+    from wst_tpu.ops.pallas.fused_scattering import fused_scattering_j2
+    from wst_tpu.ops.scattering import Scattering2D
+
+    H = W = 32
+    x = rng.random((3, H, W)).astype(np.float32)
+    want = np.asarray(Scattering2D(2, 8, H, W, mode="fft").features(x))
+    f = fused_scattering_j2(8, H, W)
+    got = np.asarray(f.features(x))
+    assert got.shape == (3, 162)
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
+def test_fused_l4(interpreted_pallas, rng):
+    from wst_tpu.ops.pallas.fused_scattering import fused_scattering_j2
+    from wst_tpu.ops.scattering import Scattering2D
+
+    H = W = 32
+    x = rng.random((2, H, W)).astype(np.float32)
+    want = np.asarray(Scattering2D(2, 4, H, W, mode="fft").features(x))
+    got = np.asarray(fused_scattering_j2(4, H, W).features(x))
+    assert got.shape == (2, 2 * 25)
+    assert np.allclose(got, want, atol=1e-4)
+
+
+def test_fold_matrix_identity():
+    from wst_tpu.ops.pallas.fused_scattering import _fold_mat
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=(16, 16))
+    p = _fold_mat(16, 4)
+    want = z.reshape(4, 4, 4, 4).mean(axis=(0, 2))
+    np.testing.assert_allclose(p @ z @ p.T, want, atol=1e-12)

@@ -59,7 +59,7 @@ def load_area_images_and_labels(
         raise ValueError(f"Area directory not found: {area_path}")
     class_dirs = sorted(d for d in os.listdir(area_path)
                         if os.path.isdir(os.path.join(area_path, d)))
-    images, labels, paths = [], [], []
+    all_paths, labels = [], []
     rng = np.random.RandomState(sample_seed)
     for class_dir in class_dirs:
         class_path = os.path.join(area_path, class_dir)
@@ -69,17 +69,38 @@ def load_area_images_and_labels(
             idx = rng.choice(len(files), sample_per_class, replace=False)
             files = [files[i] for i in sorted(idx)]
         for f in files:
-            p = os.path.join(class_path, f)
+            all_paths.append(os.path.join(class_path, f))
+            labels.append(class_dir)
+
+    # Fast path: native multithreaded batch decode into one buffer.
+    images, kept_labels, kept_paths = None, labels, all_paths
+    try:
+        from wst_tpu.data import fastpng
+        if all_paths and fastpng.available():
+            h, w = fastpng.png_info(all_paths[0])
+            batch, failures = fastpng.load_batch_rgb(all_paths, h, w)
+            if failures == 0:
+                images = batch.astype(np.float32).transpose(0, 3, 1, 2) \
+                    / 255.0
+    except Exception:
+        images = None
+
+    if images is None:  # PIL fallback (mixed sizes / unreadable / no g++)
+        imgs, kept_labels, kept_paths = [], [], []
+        for p, lab in zip(all_paths, labels):
             try:
-                images.append(load_rgb_image(p))
+                imgs.append(load_rgb_image(p))
             except Exception as e:  # unreadable file: skip, keep going
                 print(f"Error loading {p}: {e}")
                 continue
-            labels.append(class_dir)
-            paths.append(p)
-    if not images:
+            kept_labels.append(lab)
+            kept_paths.append(p)
+        if not imgs:
+            raise ValueError(f"No images found for area: {area_name}")
+        images = np.stack(imgs)
+    elif len(images) == 0:
         raise ValueError(f"No images found for area: {area_name}")
-    return np.stack(images), np.asarray(labels), paths
+    return images, np.asarray(kept_labels), kept_paths
 
 
 # ---------------------------------------------------------------------------

@@ -91,8 +91,9 @@ class _MatmulBackend:
     the jitted program as parameters, not giant inline constants.
     """
 
-    def __init__(self):
+    def __init__(self, precision=_HIGHEST):
         self._cache: Dict[int, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+        self._prec = precision
 
     def set_mats(self, mats: Dict[int, Tuple[jnp.ndarray, jnp.ndarray]]):
         self._cache = dict(mats)
@@ -103,40 +104,36 @@ class _MatmulBackend:
             self._cache[n] = (jnp.asarray(c), jnp.asarray(s))
         return self._cache[n]
 
+    def _mm_rows(self, M, x):
+        return jnp.einsum("km,...mn->...kn", M, x, precision=self._prec)
+
+    def _mm_cols(self, x, M):
+        return jnp.einsum("...mn,nl->...ml", x, M, precision=self._prec)
+
     def _rows(self, re, im, inverse: bool):
-        # Multiply along axis -2 by F = C - iS (forward) or (C + iS)/M (inverse).
+        # Multiply along axis -2 by F = C - iS (forward) or (C + iS)/M (inv).
         m = re.shape[-2]
         C, S = self._mats(m)
         if not inverse:
-            rr = jnp.einsum("km,...mn->...kn", C, re, precision=_HIGHEST)
-            ss = jnp.einsum("km,...mn->...kn", S, im, precision=_HIGHEST)
-            ri = jnp.einsum("km,...mn->...kn", C, im, precision=_HIGHEST)
-            si = jnp.einsum("km,...mn->...kn", S, re, precision=_HIGHEST)
-            return rr + ss, ri - si
-        rr = jnp.einsum("km,...mn->...kn", C, re, precision=_HIGHEST)
-        ss = jnp.einsum("km,...mn->...kn", S, im, precision=_HIGHEST)
-        ri = jnp.einsum("km,...mn->...kn", C, im, precision=_HIGHEST)
-        si = jnp.einsum("km,...mn->...kn", S, re, precision=_HIGHEST)
-        return (rr - ss) / m, (ri + si) / m
+            return (self._mm_rows(C, re) + self._mm_rows(S, im),
+                    self._mm_rows(C, im) - self._mm_rows(S, re))
+        return ((self._mm_rows(C, re) - self._mm_rows(S, im)) / m,
+                (self._mm_rows(C, im) + self._mm_rows(S, re)) / m)
 
     def _cols(self, re, im, inverse: bool):
         n = re.shape[-1]
         C, S = self._mats(n)
         if not inverse:
-            rr = jnp.einsum("...mn,nl->...ml", re, C, precision=_HIGHEST)
-            ss = jnp.einsum("...mn,nl->...ml", im, S, precision=_HIGHEST)
-            ri = jnp.einsum("...mn,nl->...ml", im, C, precision=_HIGHEST)
-            si = jnp.einsum("...mn,nl->...ml", re, S, precision=_HIGHEST)
-            return rr + ss, ri - si
-        rr = jnp.einsum("...mn,nl->...ml", re, C, precision=_HIGHEST)
-        ss = jnp.einsum("...mn,nl->...ml", im, S, precision=_HIGHEST)
-        ri = jnp.einsum("...mn,nl->...ml", im, C, precision=_HIGHEST)
-        si = jnp.einsum("...mn,nl->...ml", re, S, precision=_HIGHEST)
-        return (rr - ss) / n, (ri + si) / n
+            return (self._mm_cols(re, C) + self._mm_cols(im, S),
+                    self._mm_cols(im, C) - self._mm_cols(re, S))
+        return ((self._mm_cols(re, C) - self._mm_cols(im, S)) / n,
+                (self._mm_cols(im, C) + self._mm_cols(re, S)) / n)
 
     def fft2_real(self, x):
-        z = jnp.zeros_like(x)
-        re, im = self._rows(x, z, inverse=False)
+        # Real input: row stage needs only 2 matmuls (imag part is -S @ x).
+        m = x.shape[-2]
+        C, S = self._mats(m)
+        re, im = self._mm_rows(C, x), -self._mm_rows(S, x)
         return self._cols(re, im, inverse=False)
 
     def fft2(self, x):
@@ -148,7 +145,11 @@ class _MatmulBackend:
         return self._cols(re, im, inverse=True)
 
     def ifft2_real(self, x):
-        return self.ifft2(x)[0]
+        # Only the real part of the result is needed: 4 + 2 matmuls.
+        re, im = self._rows(x[0], x[1], inverse=True)
+        n = re.shape[-1]
+        C, S = self._mats(n)
+        return (self._mm_cols(re, C) - self._mm_cols(im, S)) / n
 
     def mul_filter(self, x, filt):
         return x[0] * filt, x[1] * filt
@@ -191,12 +192,16 @@ class Scattering2D:
     """
 
     def __init__(self, J: int, L: int, H: int, W: int, max_order: int = 2,
-                 mode: Optional[str] = None):
+                 mode: Optional[str] = None, precision: str = "highest"):
         self.bank: FilterBank = get_filter_bank(J, L, H, W, max_order)
         self.mode = mode or _default_mode()
         if self.mode not in ("fft", "matmul"):
             raise ValueError(f"unknown scattering mode: {self.mode}")
-        self._backend = _FFTBackend() if self.mode == "fft" else _MatmulBackend()
+        prec = {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT}[precision]
+        self._backend = (_FFTBackend() if self.mode == "fft"
+                         else _MatmulBackend(prec))
         # Filters (and, in matmul mode, DFT matrices) are passed to the
         # jitted function as pytree ARGUMENTS, not closed-over constants:
         # this keeps the HLO small (fast compiles, especially over remote
