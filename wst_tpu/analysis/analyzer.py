@@ -88,8 +88,16 @@ class NoiseExperimentAnalyzer:
     # -------------------------------------------------------------- loading
 
     def _condition_dir(self, condition: str) -> Optional[Path]:
-        """Find the corpus subdir for a condition under base_dir; the clean
-        baseline may live in a separate tree (clean_dir)."""
+        """Find the corpus subdir for a condition under base_dir.
+
+        Handles both this framework's flat layout ``{base}/{condition}`` and
+        the reference corpus's nested one
+        ``{base}/{familydir}/{familydir}_output/{rgb_|dataset_rgb_}{cond}``
+        (e.g. experiments/gaussian/gaussian_output/rgb_gaussian50 or
+        experiments/poisson/poisson_output/dataset_rgb_poisson_60).  The
+        clean baseline may live in a separate tree (clean_dir).
+        """
+        fam = self.family.name
         roots = [self.base_dir]
         if condition == "clean" and self.clean_dir is not None:
             roots.insert(0, self.clean_dir.parent)
@@ -98,10 +106,21 @@ class NoiseExperimentAnalyzer:
         candidates += [condition, f"rgb_{condition}"]
         if condition == "clean":
             candidates += ["rgb_clean", "clean"]
+        else:
+            level = condition[len(fam):]
+            candidates += [f"dataset_rgb_{fam}_{level}",
+                           f"dataset_rgb_{condition}"]
+        aliases = {fam, fam.replace("_", ""),
+                   fam.replace("_and_", "")}       # salt_and_pepper->saltpepper
+        subtrees = [""] + sorted(
+            sub for a in aliases
+            for sub in (a, os.path.join(a, f"{a}_output")))
         for root in roots:
-            for c in candidates:
-                if (root / c).is_dir():
-                    return root / c
+            for sub in subtrees:
+                for c in candidates:
+                    d = root / sub / c if sub else root / c
+                    if d.is_dir():
+                        return d
         return None
 
     def load_all_experiments(self) -> pd.DataFrame:
