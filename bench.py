@@ -26,13 +26,16 @@ L = 8
 
 
 def _steady(fn, arg, iters):
-    import jax
-    out = fn(arg)
-    jax.block_until_ready(out)
+    """Steady-state sec/call; a host fetch of a dependent scalar forces
+    full completion (block_until_ready alone is unreliable over the
+    remote-PJRT tunnel this sandbox uses)."""
+    import jax.numpy as jnp
+    float(fn(arg).sum())          # warmup (compile) + full sync
     t0 = time.perf_counter()
+    acc = jnp.float32(0)
     for _ in range(iters):
-        out = fn(arg)
-    jax.block_until_ready(out)
+        acc = acc + fn(arg).sum()
+    float(acc)                    # forces every iteration
     return (time.perf_counter() - t0) / iters
 
 

@@ -111,3 +111,22 @@ def test_batch_leading_dims(rng):
     out = np.asarray(sc(x))
     flat = np.asarray(sc(x.reshape(6, 32, 32)))
     assert np.allclose(out.reshape(6, 81, 8, 8), flat)
+
+
+def test_deep_scattering_j4(rng):
+    # BASELINE config 4: deep scattering J=4, L=8 (smaller grid here for
+    # oracle speed; the structure/padding path is identical).
+    H = W = 64
+    from wst_tpu.ops.filter_bank import FilterBank
+    bank = FilterBank(4, 8, H, W)
+    assert bank.M_pad == 96
+    # 1 + J*L + L^2 * J(J-1)/2 = 1 + 32 + 64*6 = 417 coefficients
+    assert bank.n_coeffs == 417
+    x = rng.random((H, W)).astype(np.float32)
+    want = scattering2d_ref(x, bank)
+    sc = Scattering2D(4, 8, H, W, mode="fft")
+    got = np.asarray(sc(x))
+    assert got.shape == (417, 4, 4)
+    assert np.allclose(got, want, atol=3e-4), np.abs(got - want).max()
+    feats = np.asarray(sc.features(x[None]))
+    assert feats.shape == (1, 834)
