@@ -56,3 +56,17 @@ def test_fold_matrix_identity():
     p = _fold_mat(16, 4)
     want = z.reshape(4, 4, 4, 4).mean(axis=(0, 2))
     np.testing.assert_allclose(p @ z @ p.T, want, atol=1e-12)
+
+
+def test_fused_periodic_matches_reference(interpreted_pallas, rng):
+    from wst_tpu.ops.pallas.fused_scattering import fused_scattering_j2
+    from wst_tpu.ops.scattering import Scattering2D
+
+    H = W = 32
+    x = rng.random((2, H, W)).astype(np.float32)
+    want = np.asarray(Scattering2D(2, 8, H, W, mode="fft",
+                                   boundary="periodic").features(x))
+    got = np.asarray(fused_scattering_j2(8, H, W,
+                                         boundary="periodic").features(x))
+    assert got.shape == (2, 162)
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()

@@ -130,3 +130,23 @@ def test_deep_scattering_j4(rng):
     assert np.allclose(got, want, atol=3e-4), np.abs(got - want).max()
     feats = np.asarray(sc.features(x[None]))
     assert feats.shape == (1, 834)
+
+
+def test_periodic_boundary_mode(rng):
+    # TPU fast mode: circular convolution on the unpadded (lane-aligned)
+    # grid.  Must match the oracle run with zero padding.
+    H = W = 32
+    from wst_tpu.ops.filter_bank import FilterBank
+    bank = FilterBank(2, 8, H, W, boundary="periodic")
+    assert bank.M_pad == H and bank.pad_h == 0
+    assert bank.out_hw == (8, 8)
+    x = rng.random((H, W)).astype(np.float32)
+    want = scattering2d_ref(x, bank)
+    sc = Scattering2D(2, 8, H, W, mode="fft", boundary="periodic")
+    got = np.asarray(sc(x))
+    assert got.shape == (81, 8, 8)
+    assert np.allclose(got, want, atol=2e-4)
+    # periodic differs from reflect (boundary handling) but correlates
+    refl = np.asarray(Scattering2D(2, 8, H, W, mode="fft")(x))
+    assert refl.shape == got.shape
+    assert not np.allclose(got, refl, atol=1e-3)

@@ -151,13 +151,26 @@ class FilterBank:
         Low-pass phi_J periodized to each resolution 0..J-1.
     """
 
-    def __init__(self, J: int, L: int, H: int, W: int, max_order: int = 2):
+    def __init__(self, J: int, L: int, H: int, W: int, max_order: int = 2,
+                 boundary: str = "reflect"):
         if H % 2 ** J or W % 2 ** J:
             raise ValueError(
                 f"H={H}, W={W} must be divisible by 2**J={2**J}")
+        if boundary not in ("reflect", "periodic"):
+            raise ValueError(f"unknown boundary mode: {boundary!r}")
         self.J, self.L, self.H, self.W = J, L, H, W
         self.max_order = max_order
-        self.M_pad, self.N_pad = compute_padding(H, W, J)
+        self.boundary = boundary
+        if boundary == "reflect":
+            # Reference-engine convention: reflect-pad by 2**J per side,
+            # crop a 1-px border after the final subsampling.
+            self.M_pad, self.N_pad = compute_padding(H, W, J)
+        else:
+            # TPU fast mode: circular convolution on the unpadded grid.
+            # For power-of-two inputs every transform size is a multiple of
+            # the 128-lane MXU tile, roughly doubling MXU utilization; the
+            # features differ only through boundary handling.
+            self.M_pad, self.N_pad = H, W
         self.pad_h = (self.M_pad - H) // 2
         self.pad_w = (self.N_pad - W) // 2
         self.meta = build_path_meta(J, L, max_order)
@@ -198,7 +211,7 @@ class FilterBank:
 
 
 @functools.lru_cache(maxsize=16)
-def get_filter_bank(J: int, L: int, H: int, W: int,
-                    max_order: int = 2) -> FilterBank:
+def get_filter_bank(J: int, L: int, H: int, W: int, max_order: int = 2,
+                    boundary: str = "reflect") -> FilterBank:
     """Cached filter-bank constructor (the bank is immutable after build)."""
-    return FilterBank(J, L, H, W, max_order)
+    return FilterBank(J, L, H, W, max_order, boundary)

@@ -55,8 +55,9 @@ def _fold_mat(m: int, k: int) -> np.ndarray:
     return np.tile(eye, (1, k)) / np.float32(k)
 
 
-def _build_constants(J: int, L: int, H: int, W: int):
-    bank = get_filter_bank(J, L, H, W)
+def _build_constants(J: int, L: int, H: int, W: int,
+                     boundary: str = "reflect"):
+    bank = get_filter_bank(J, L, H, W, 2, boundary)
     n = bank.M_pad
     assert bank.N_pad == n, "kernel assumes square padded grid"
     nh, nq = n // 2, n // 4
@@ -163,11 +164,12 @@ def _make_kernel(L: int, n: int, n_coeffs: int,
 
 
 @functools.lru_cache(maxsize=4)
-def _compiled(L: int, H: int, W: int, precision: str = "default"):
+def _compiled(L: int, H: int, W: int, precision: str = "default",
+              boundary: str = "reflect"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    bank, consts = _build_constants(2, L, H, W)
+    bank, consts = _build_constants(2, L, H, W, boundary)
     n = bank.M_pad
     nh, nq = n // 2, n // 4
     K = bank.n_coeffs
@@ -201,12 +203,19 @@ def _compiled(L: int, H: int, W: int, precision: str = "default"):
 
     pad_h, pad_w = bank.pad_h, bank.pad_w
 
+    def _prep(x):
+        if pad_h == 0 and pad_w == 0:
+            return x
+        return jnp.pad(x, ((0, 0), (pad_h, pad_h), (pad_w, pad_w)),
+                       mode="reflect")
+
+    def _crop(maps):
+        return maps[..., 1:-1, 1:-1] if bank.boundary == "reflect" else maps
+
     @jax.jit
     def features(x, params):
         """x: (B, H, W) float32 -> (B, 2K) [means then stds]."""
-        xp = jnp.pad(x, ((0, 0), (pad_h, pad_h), (pad_w, pad_w)),
-                     mode="reflect")
-        maps = run(xp, params)[..., 1:-1, 1:-1]   # unpad 1px border
+        maps = _crop(run(_prep(x), params))
         mean = jnp.mean(maps, axis=(-2, -1))
         std = jnp.std(maps, axis=(-2, -1))
         return jnp.concatenate([mean, std], axis=-1)
@@ -214,9 +223,7 @@ def _compiled(L: int, H: int, W: int, precision: str = "default"):
     @jax.jit
     def coeff_maps(x, params):
         """x: (B, H, W) -> (B, K, h, w) unpadded coefficient maps."""
-        xp = jnp.pad(x, ((0, 0), (pad_h, pad_h), (pad_w, pad_w)),
-                     mode="reflect")
-        return run(xp, params)[..., 1:-1, 1:-1]
+        return _crop(run(_prep(x), params))
 
     features.coeff_maps = coeff_maps
     return features, consts, bank
@@ -225,9 +232,11 @@ def _compiled(L: int, H: int, W: int, precision: str = "default"):
 class FusedScatteringJ2:
     """Pallas-fused J=2 scattering feature extractor (pooled mean/std)."""
 
-    def __init__(self, L: int, H: int, W: int, precision: str = "default"):
+    def __init__(self, L: int, H: int, W: int, precision: str = "default",
+                 boundary: str = "reflect"):
         self._features, self._params, self.bank = _compiled(L, H, W,
-                                                            precision)
+                                                            precision,
+                                                            boundary)
 
     @property
     def n_coeffs(self) -> int:
@@ -242,5 +251,6 @@ class FusedScatteringJ2:
 
 
 def fused_scattering_j2(L: int, H: int, W: int,
-                        precision: str = "default") -> FusedScatteringJ2:
-    return FusedScatteringJ2(L, H, W, precision)
+                        precision: str = "default",
+                        boundary: str = "reflect") -> FusedScatteringJ2:
+    return FusedScatteringJ2(L, H, W, precision, boundary)

@@ -192,8 +192,10 @@ class Scattering2D:
     """
 
     def __init__(self, J: int, L: int, H: int, W: int, max_order: int = 2,
-                 mode: Optional[str] = None, precision: str = "highest"):
-        self.bank: FilterBank = get_filter_bank(J, L, H, W, max_order)
+                 mode: Optional[str] = None, precision: str = "highest",
+                 boundary: str = "reflect"):
+        self.bank: FilterBank = get_filter_bank(J, L, H, W, max_order,
+                                                boundary)
         self.mode = mode or _default_mode()
         if self.mode not in ("fft", "matmul"):
             raise ValueError(f"unknown scattering mode: {self.mode}")
@@ -258,14 +260,17 @@ class Scattering2D:
     # -- implementation -----------------------------------------------------
 
     def _pad(self, x):
+        if self.bank.pad_h == 0 and self.bank.pad_w == 0:
+            return x
         return jnp.pad(
             x,
             ((0, 0), (self.bank.pad_h, self.bank.pad_h),
              (self.bank.pad_w, self.bank.pad_w)),
             mode="reflect")
 
-    @staticmethod
-    def _unpad(x):
+    def _unpad(self, x):
+        if self.bank.boundary == "periodic":
+            return x
         return x[..., 1:-1, 1:-1]
 
     def _scatter_batch(self, x: jnp.ndarray, params) -> jnp.ndarray:
@@ -335,5 +340,6 @@ class Scattering2D:
 
 @functools.lru_cache(maxsize=8)
 def get_scattering(J: int, L: int, H: int, W: int, max_order: int = 2,
-                   mode: Optional[str] = None) -> Scattering2D:
-    return Scattering2D(J, L, H, W, max_order, mode)
+                   mode: Optional[str] = None,
+                   boundary: str = "reflect") -> Scattering2D:
+    return Scattering2D(J, L, H, W, max_order, mode, boundary=boundary)

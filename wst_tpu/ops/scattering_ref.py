@@ -37,7 +37,10 @@ def scattering2d_ref(x: np.ndarray, bank: FilterBank) -> np.ndarray:
     (j1, theta1); order-2 by (j1, theta1, j2 > j1, theta2)).
     """
     J, L = bank.J, bank.L
-    xp = _pad_reflect(np.asarray(x, dtype=np.float64), bank.pad_h, bank.pad_w)
+    xp = np.asarray(x, dtype=np.float64)
+    if bank.pad_h or bank.pad_w:
+        xp = _pad_reflect(xp, bank.pad_h, bank.pad_w)
+    unpad = _unpad if bank.boundary == "reflect" else (lambda z: z)
     X = np.fft.fft2(xp)
 
     out = []
@@ -45,7 +48,7 @@ def scattering2d_ref(x: np.ndarray, bank: FilterBank) -> np.ndarray:
     # Zeroth order: low-pass + subsample 2^J.
     S0 = np.real(np.fft.ifft2(
         _subsample_fourier(X * bank.phi_f[0], 2 ** J)))
-    out.append(_unpad(S0))
+    out.append(unpad(S0))
 
     U1_hat = {}  # (j1, theta1) -> FFT of |x * psi_{j1,theta1}| at res j1
     for j1 in range(J):
@@ -56,7 +59,7 @@ def scattering2d_ref(x: np.ndarray, bank: FilterBank) -> np.ndarray:
             U1_hat[(j1, t1)] = np.fft.fft2(U1)
             S1 = np.real(np.fft.ifft2(_subsample_fourier(
                 U1_hat[(j1, t1)] * bank.phi_f[j1], 2 ** (J - j1))))
-            out.append(_unpad(S1))
+            out.append(unpad(S1))
 
     if bank.max_order >= 2:
         for j1 in range(J):
@@ -69,6 +72,6 @@ def scattering2d_ref(x: np.ndarray, bank: FilterBank) -> np.ndarray:
                         S2 = np.real(np.fft.ifft2(_subsample_fourier(
                             np.fft.fft2(U2) * bank.phi_f[j2],
                             2 ** (J - j2))))
-                        out.append(_unpad(S2))
+                        out.append(unpad(S2))
 
     return np.stack(out).astype(np.float32)
