@@ -50,14 +50,25 @@ class FeatureExtractor:
     """
 
     def __init__(self, method: str, H: int, W: int, J: int = 2, L: int = 8,
-                 mode: Optional[str] = None):
+                 mode: Optional[str] = None, boundary: str = "reflect"):
         if method not in METHODS:
             raise ValueError(f"Unknown feature method: {method!r}")
         self.method = method
         self.J, self.L, self.H, self.W = J, L, H, W
         self._scattering: Optional[Scattering2D] = None
+        self._fused = None
         if method in ("wst", "hybrid"):
-            self._scattering = get_scattering(J, L, H, W, 2, mode)
+            if mode == "pallas":
+                # Fused TPU kernel (J=2 only): the fastest path.
+                from wst_tpu.ops.pallas.fused_scattering import (
+                    fused_scattering_j2)
+                if J != 2:
+                    raise ValueError("pallas mode supports J=2 only")
+                self._fused = fused_scattering_j2(L, H, W,
+                                                  boundary=boundary)
+            else:
+                self._scattering = get_scattering(J, L, H, W, 2, mode,
+                                                  boundary)
         self.feature_names = get_feature_names(method, J, L)
 
     @property
@@ -71,7 +82,8 @@ class FeatureExtractor:
         if self.method in ("advanced_stats", "hybrid"):
             parts.append(advanced_stats(images))
         if self.method in ("wst", "hybrid"):
-            f = self._scattering.features(images)     # (B, C, 2K)
+            sc = self._fused if self._fused is not None else self._scattering
+            f = sc.features(images)                   # (B, C, 2K)
             parts.append(f.reshape(f.shape[0], -1))   # channel-major concat
         out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
         return out
