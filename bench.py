@@ -49,13 +49,13 @@ def bench_xla(batch: int, iters: int):
     return batch / dt
 
 
-def bench_pallas(batch: int, iters: int):
+def bench_pallas(batch: int, iters: int, boundary: str = "reflect"):
     import jax
     from wst_tpu.ops.pallas.fused_scattering import (fused_scattering_j2,
                                                      pallas_available)
     if not pallas_available():
         return None
-    f = fused_scattering_j2(L, H, W)
+    f = fused_scattering_j2(L, H, W, boundary=boundary)
     x = jax.device_put(np.random.default_rng(0).random(
         (batch * 3, H, W), dtype=np.float32))
     dt = _steady(f.features, x, iters)
@@ -77,12 +77,14 @@ def main():
         except Exception as e:
             print(f"# xla b={batch} failed: {e}", file=sys.stderr)
         if on_tpu:
-            try:
-                pps = bench_pallas(batch, iters)
-                if pps:
-                    candidates[f"pallas_fused_b{batch}"] = pps
-            except Exception as e:
-                print(f"# pallas b={batch} failed: {e}", file=sys.stderr)
+            for boundary in ("reflect", "periodic"):
+                try:
+                    pps = bench_pallas(batch, iters, boundary)
+                    if pps:
+                        candidates[f"pallas_{boundary}_b{batch}"] = pps
+                except Exception as e:
+                    print(f"# pallas {boundary} b={batch} failed: {e}",
+                          file=sys.stderr)
 
     for name, pps in sorted(candidates.items()):
         print(f"# {name}: {pps:.1f} patches/s on {platform}",

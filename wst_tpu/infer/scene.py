@@ -78,8 +78,10 @@ class SceneClassifier:
             X = self.fx(tiles)
             Xs = (X - scaler_mean) / scaler_scale
             Xsel = Xs[:, sel_idx]
-            proba = _predict_forest(Xsel, *forest,
-                                    max_depth=f.feature.shape[1])
+            depth = (model.max_depth_used_
+                     if getattr(model, "max_depth_used_", None)
+                     else f.feature.shape[1])
+            proba = _predict_forest(Xsel, *forest, max_depth=depth)
             return jnp.argmax(proba, axis=1), jnp.max(proba, axis=1)
 
         self._step = jax.jit(step)

@@ -117,6 +117,7 @@ class TreeEnsembleClassifier:
         self.random_state = random_state
         self.classes_: Optional[np.ndarray] = None
         self.forest_: Optional[ForestArrays] = None
+        self.max_depth_used_: Optional[int] = None
 
     # ------------------------------------------------------------------ fit
 
@@ -148,18 +149,23 @@ class TreeEnsembleClassifier:
             max_nodes=max_nodes, bootstrap=self.bootstrap,
             seed=self.random_state)
         self.forest_ = ForestArrays(*[np.asarray(a) for a in fitted])
+        self.max_depth_used_ = depth
         return self
 
     # -------------------------------------------------------------- predict
 
     def predict_proba(self, X) -> np.ndarray:
         f = self.forest_
+        # The pointer chase needs exactly tree-depth steps; fall back to
+        # the (loose) node-count bound for forests loaded without depth.
+        depth = (self.max_depth_used_ if self.max_depth_used_ is not None
+                 else f.feature.shape[1])
         out = _predict_forest(
             jnp.asarray(np.asarray(X, np.float32)),
             jnp.asarray(f.feature), jnp.asarray(f.threshold),
             jnp.asarray(f.left), jnp.asarray(f.right),
             jnp.asarray(f.is_leaf), jnp.asarray(f.probs),
-            max_depth=f.feature.shape[1])
+            max_depth=depth)
         return np.asarray(out)
 
     def predict(self, X) -> np.ndarray:

@@ -131,7 +131,8 @@ class DistributedTrainer:
 
             # 5) batched predict + psum-reduced confusion matrix.
             proba = _predict_forest(Xsel_te, *forest,
-                                    max_depth=forest[0].shape[1])
+                                    max_depth=min(self.max_depth,
+                                                  max(1, n)))
             pred = jnp.argmax(proba, axis=1)
             acc = jnp.mean((pred == y_test).astype(jnp.float32))
             oh_t = jax.nn.one_hot(y_test, self.n_classes, dtype=jnp.float32)

@@ -48,7 +48,8 @@ def save_artifacts(output_dir, model: TreeEnsembleClassifier,
              right=f.right, is_leaf=f.is_leaf, probs=f.probs,
              classes=np.asarray(model.classes_, dtype=np.str_),
              n_estimators=np.int64(model.n_estimators),
-             random_state=np.int64(model.random_state))
+             random_state=np.int64(model.random_state),
+             max_depth_used=np.int64(model.max_depth_used_ or 0))
     with open(os.path.join(output_dir, SELECTION_NAME), "w") as fp:
         json.dump(selection.to_dict(), fp)
     with open(os.path.join(output_dir, FEATURES_NAME), "w") as fp:
@@ -98,10 +99,13 @@ def load_artifacts(model_dir) -> Tuple[TreeEnsembleClassifier,
         classes = z["classes"]
         n_estimators = int(z["n_estimators"])
         random_state = int(z["random_state"])
+        max_depth_used = int(z["max_depth_used"]) if "max_depth_used" in z \
+            else 0
     model = TreeEnsembleClassifier(n_estimators=n_estimators,
                                    random_state=random_state)
     model.forest_ = forest
     model.classes_ = classes
+    model.max_depth_used_ = max_depth_used or None
     with open(os.path.join(model_dir, SELECTION_NAME)) as fp:
         selection = SelectionModel.from_dict(json.load(fp))
     return model, selection
