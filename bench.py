@@ -63,28 +63,49 @@ def bench_pallas(batch: int, iters: int, boundary: str = "reflect"):
 
 
 def main():
+    import os
     import jax
 
     platform = jax.devices()[0].platform
     on_tpu = platform != "cpu"
     iters = 10 if on_tpu else 2
-    batches = [128] if on_tpu else [16]
+    batch = 128 if on_tpu else 16
+    # Remote-tunnel compiles are minutes each; run candidates best-first and
+    # stop starting new ones once the budget is spent so a JSON line always
+    # lands before any outer timeout.
+    budget = float(os.environ.get("WST_BENCH_BUDGET_SEC", "420"))
+    t_start = time.perf_counter()
+
+    plan = []
+    if on_tpu:
+        plan += [("pallas_periodic", lambda: bench_pallas(batch, iters,
+                                                          "periodic")),
+                 ("pallas_reflect", lambda: bench_pallas(batch, iters,
+                                                         "reflect"))]
+    plan.append(("xla_matmul", lambda: bench_xla(batch, iters)))
 
     candidates = {}
-    for batch in batches:
+    fns = {}
+    for name, fn in plan:
+        if candidates and time.perf_counter() - t_start > budget:
+            print(f"# budget spent; skipping {name}", file=sys.stderr)
+            continue
         try:
-            candidates[f"xla_matmul_b{batch}"] = bench_xla(batch, iters)
+            pps = fn()
+            if pps:
+                candidates[f"{name}_b{batch}"] = pps
+                fns[f"{name}_b{batch}"] = fn
         except Exception as e:
-            print(f"# xla b={batch} failed: {e}", file=sys.stderr)
-        if on_tpu:
-            for boundary in ("reflect", "periodic"):
-                try:
-                    pps = bench_pallas(batch, iters, boundary)
-                    if pps:
-                        candidates[f"pallas_{boundary}_b{batch}"] = pps
-                except Exception as e:
-                    print(f"# pallas {boundary} b={batch} failed: {e}",
-                          file=sys.stderr)
+            print(f"# {name} failed: {e}", file=sys.stderr)
+
+    # The remote-TPU session ramps up over the first minutes of a process
+    # (early timing rounds read several-fold slow).  Everything is compiled
+    # now — re-measure each candidate and keep the best reading.
+    for name, fn in fns.items():
+        try:
+            candidates[name] = max(candidates[name], fn())
+        except Exception:
+            pass
 
     for name, pps in sorted(candidates.items()):
         print(f"# {name}: {pps:.1f} patches/s on {platform}",
