@@ -76,16 +76,33 @@ def main():
     budget = float(os.environ.get("WST_BENCH_BUDGET_SEC", "420"))
     t_start = time.perf_counter()
 
-    plan = []
+    # Cheapest-compiling candidate first so at least one number lands even
+    # under a tight outer timeout; the re-measure pass below keeps the best
+    # reading per candidate regardless of order.
+    plan = [("xla_matmul", lambda: bench_xla(batch, iters))]
     if on_tpu:
         plan += [("pallas_periodic", lambda: bench_pallas(batch, iters,
                                                           "periodic")),
                  ("pallas_reflect", lambda: bench_pallas(batch, iters,
                                                          "reflect"))]
-    plan.append(("xla_matmul", lambda: bench_xla(batch, iters)))
 
     candidates = {}
     fns = {}
+
+    # If the harness kills us mid-compile, still emit the best-so-far line.
+    import signal
+    emitted = []
+
+    def _emit_once():
+        if not emitted:
+            emitted.append(True)
+            _emit(candidates, platform)
+
+    def _emit_and_exit(signum, frame):
+        _emit_once()
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, _emit_and_exit)
     for name, fn in plan:
         if candidates and time.perf_counter() - t_start > budget:
             print(f"# budget spent; skipping {name}", file=sys.stderr)
@@ -107,6 +124,10 @@ def main():
         except Exception:
             pass
 
+    _emit_once()
+
+
+def _emit(candidates, platform="tpu"):
     for name, pps in sorted(candidates.items()):
         print(f"# {name}: {pps:.1f} patches/s on {platform}",
               file=sys.stderr)
@@ -126,7 +147,7 @@ def main():
         "value": round(best, 2),
         "unit": "patches/s/chip",
         "vs_baseline": round(best / BASELINE_PATCHES_PER_S, 2),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

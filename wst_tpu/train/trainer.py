@@ -172,6 +172,10 @@ def main(argv=None):
     p.add_argument("--J", type=int, default=2)
     p.add_argument("--L", type=int, default=8)
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--scattering_mode", default=None,
+                   choices=["fft", "matmul", "pallas"],
+                   help="Spectral backend (default: auto by platform; "
+                        "'pallas' = fused TPU kernel, J=2 only)")
     args = p.parse_args(argv)
     config = ExperimentConfig(
         dataset_path=args.dataset_path, area_name=args.area_name,
@@ -179,7 +183,7 @@ def main(argv=None):
         output_dir=args.output_dir, n_estimators=args.n_estimators,
         test_size=args.test_size, random_state=args.random_state,
         cv_folds=args.cv_folds, J=args.J, L=args.L,
-        batch_size=args.batch_size)
+        batch_size=args.batch_size, scattering_mode=args.scattering_mode)
     report = run_experiment(config)
     print(f"Saved artifacts to {config.output_dir}")
     return report
