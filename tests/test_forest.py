@@ -114,3 +114,25 @@ def test_tiny_dataset_mini_size(rng):
     X, y = _blobs(rng, n_per=5, f=2, spread=0.3)
     clf = TreeEnsembleClassifier(n_estimators=3, random_state=42).fit(X, y)
     assert clf.score(X, y) >= 0.8
+
+
+def test_large_n_histogram_binning(rng):
+    # n > max_bins exercises the approximate (quantile-binned) splitter
+    # path; accuracy must stay close to sklearn on the same data.
+    from sklearn.ensemble import RandomForestClassifier
+    n_per = 500
+    centers = rng.normal(size=(3, 8)) * 2.0
+    X = np.vstack([c + rng.normal(size=(n_per, 8)) for c in centers]
+                  ).astype(np.float32)
+    y = np.repeat(np.arange(3), n_per)
+    p = rng.permutation(len(y))
+    X, y = X[p], y[p]
+    tr, te = np.arange(1200), np.arange(1200, 1500)
+    ours = TreeEnsembleClassifier(n_estimators=20, max_bins=64,
+                                  random_state=0).fit(X[tr], y[tr])
+    sk = RandomForestClassifier(n_estimators=20, max_features="sqrt",
+                                min_samples_split=5, min_samples_leaf=2,
+                                random_state=0).fit(X[tr], y[tr])
+    ours_acc = ours.score(X[te], y[te])
+    sk_acc = sk.score(X[te], y[te])
+    assert abs(ours_acc - sk_acc) <= 0.05, (ours_acc, sk_acc)
