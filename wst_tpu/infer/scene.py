@@ -14,7 +14,6 @@ all-gathers XLA inserts when the label map is assembled.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -55,12 +54,12 @@ class SceneClassifier:
     def __init__(self, model: TreeEnsembleClassifier,
                  selection: SelectionModel, method: str, patch: int = 128,
                  J: int = 2, L: int = 8, mesh=None,
-                 batch_size: int = 256):
+                 batch_size: int = 256, mode: Optional[str] = None):
         self.model, self.selection = model, selection
         self.patch = patch
         self.mesh = mesh if mesh is not None else make_mesh()
         self.batch_size = batch_size
-        self.fx = FeatureExtractor(method, patch, patch, J, L)
+        self.fx = FeatureExtractor(method, patch, patch, J, L, mode)
 
         f = model.forest_
         scaler_mean = jnp.asarray(selection.scaler.mean, jnp.float32)
@@ -111,17 +110,23 @@ class SceneClassifier:
 
     def throughput(self, n_tiles: int = 512, iters: int = 5
                    ) -> float:
-        """Patches/sec on synthetic tiles (benchmark helper)."""
+        """Patches/sec on device-resident synthetic tiles.
+
+        Timing forces completion via a host fetch of a dependent scalar
+        (block_until_ready alone is unreliable over remote PJRT tunnels).
+        """
         import time
         rng = np.random.default_rng(0)
         tiles = jnp.asarray(rng.random(
             (self.batch_size, 3, self.patch, self.patch), dtype=np.float32))
         with self.mesh:
-            out = self._step(tiles)
-            jax.block_until_ready(out)
+            ids, conf = self._step(tiles)
+            float(conf.sum())                      # warmup + full sync
             t0 = time.perf_counter()
+            acc = jnp.float32(0)
             for _ in range(iters):
-                out = self._step(tiles)
-            jax.block_until_ready(out)
+                _ids, conf = self._step(tiles)
+                acc = acc + conf.sum()
+            float(acc)
             dt = (time.perf_counter() - t0) / iters
         return self.batch_size / dt

@@ -21,12 +21,10 @@ compiled step, and is what ``__graft_entry__.dryrun_multichip`` exercises.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from wst_tpu.features.selection import _mi_classif_device

@@ -30,7 +30,6 @@ import numpy as np
 
 from wst_tpu.data.dataset import load_area_images_and_labels
 from wst_tpu.features.extractor import FeatureExtractor, get_feature_names
-from wst_tpu.train.trainer import run_experiment
 from wst_tpu.utils.artifacts import REPORT_NAME
 from wst_tpu.utils.config import ExperimentConfig
 

@@ -24,7 +24,7 @@ import numpy as np
 
 from wst_tpu.data.dataset import load_area_images_and_labels
 from wst_tpu.features.extractor import FeatureExtractor
-from wst_tpu.features.selection import SelectionModel, fit_select_kbest
+from wst_tpu.features.selection import fit_select_kbest
 from wst_tpu.models.forest import TreeEnsembleClassifier
 from wst_tpu.train.metrics import (accuracy_score, classification_report,
                                    confusion_matrix)

@@ -18,14 +18,13 @@ All figures render with the Agg backend (headless-safe).
 
 from __future__ import annotations
 
-import os
 import time
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from wst_tpu.ops.scattering import Scattering2D, get_scattering
+from wst_tpu.ops.scattering import get_scattering
 from wst_tpu.ops.stats import STAT_NAMES, advanced_stats
 
 
