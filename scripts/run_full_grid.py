@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Regenerate the full 1,512-cell experiment corpus + all five analyses.
+
+Mirrors the reference's complete factorial study (reference corpus:
+experiments/{rgb_clean,gaussian,poisson,saltpepper,speckle,uniform} —
+3 areas x 3 sizes x 3 methods x 4 k x 14 noise conditions = 1,512 cells,
+SURVEY.md §2.1 C22) on the synthetic dataset, using the sharded
+noise-matrix pipeline: one device pass per (area, size) produces all 14
+conditions' features, then every cell's selection + forest + CV runs from
+that single batch.
+
+Usage:
+    python scripts/run_full_grid.py [--data demo_grid/data/rgb_clean]
+        [--out full_grid] [--sizes mini small original]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wst_tpu.analysis.analyzer import NOISE_FAMILIES, NoiseExperimentAnalyzer
+from wst_tpu.data.dataset import AREAS, load_area_images_and_labels
+from wst_tpu.train.matrix_runner import run_matrix_suite
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", default="demo_grid/data/rgb_clean")
+    p.add_argument("--out", default="full_grid")
+    p.add_argument("--sizes", nargs="*",
+                   default=["mini", "small", "original"])
+    p.add_argument("--k", nargs="*", type=int, default=[2, 5, 10, 20])
+    p.add_argument("--families", nargs="*", default=None,
+                   help="noise families to run (default: all five)")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    exp_root = os.path.join(args.out, "experiments")
+    t_start = time.time()
+    n_cells = 0
+    for size in args.sizes:
+        ds_path = os.path.join(args.data, size)
+        for area in AREAS:
+            t0 = time.time()
+            images, labels, _ = load_area_images_and_labels(ds_path, area)
+            reports = run_matrix_suite(
+                images, labels, exp_root, area, size,
+                dataset_path=ds_path, ks=args.k, families=args.families,
+                seed=args.seed, verbose=False)
+            n_cells += len(reports)
+            print(f"[grid] {area}/{size}: {len(reports)} cells in "
+                  f"{time.time() - t0:.1f}s ({n_cells} total)", flush=True)
+
+    print(f"[grid] corpus complete: {n_cells} cells in "
+          f"{(time.time() - t_start) / 60:.1f} min", flush=True)
+
+    for family in sorted(args.families or NOISE_FAMILIES):
+        t0 = time.time()
+        analyzer = NoiseExperimentAnalyzer(family, exp_root)
+        res = analyzer.create_complete_analysis(
+            os.path.join(args.out, "analysis", f"{family}_analysis"))
+        print(f"[analysis] {family}: {res['n_experiments']} experiments, "
+              f"{len(res['comparison_plots'])} comparison + "
+              f"{len(res['detailed_plots'])} detailed plots in "
+              f"{time.time() - t0:.1f}s", flush=True)
+    print(f"[done] total {(time.time() - t_start) / 60:.1f} min", flush=True)
+
+
+if __name__ == "__main__":
+    main()
