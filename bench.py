@@ -49,13 +49,14 @@ def bench_xla(batch: int, iters: int):
     return batch / dt
 
 
-def bench_pallas(batch: int, iters: int, boundary: str = "reflect"):
+def bench_pallas(batch: int, iters: int, boundary: str = "reflect",
+                 layout: str = "wide"):
     import jax
     from wst_tpu.ops.pallas.fused_scattering import (fused_scattering_j2,
                                                      pallas_available)
     if not pallas_available():
         return None
-    f = fused_scattering_j2(L, H, W, boundary=boundary)
+    f = fused_scattering_j2(L, H, W, boundary=boundary, layout=layout)
     x = jax.device_put(np.random.default_rng(0).random(
         (batch * 3, H, W), dtype=np.float32))
     dt = _steady(f.features, x, iters)
@@ -83,8 +84,12 @@ def main():
     if on_tpu:
         plan += [("pallas_periodic", lambda: bench_pallas(batch, iters,
                                                           "periodic")),
+                 ("pallas_periodic_tall2",
+                  lambda: bench_pallas(batch, iters, "periodic", "tall2")),
                  ("pallas_reflect", lambda: bench_pallas(batch, iters,
-                                                         "reflect"))]
+                                                         "reflect")),
+                 ("pallas_reflect_tall2",
+                  lambda: bench_pallas(batch, iters, "reflect", "tall2"))]
 
     candidates = {}
     fns = {}

@@ -37,6 +37,21 @@ def test_fused_matches_reference(interpreted_pallas, rng):
     assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
 
 
+def test_fused_tall_layout(interpreted_pallas, rng):
+    """Image-pair ("tall") layout matches the oracle, incl. the odd-batch
+    padding path (5 images -> 3 grid programs of B=2)."""
+    from wst_tpu.ops.pallas.fused_scattering import fused_scattering_j2
+    from wst_tpu.ops.scattering import Scattering2D
+
+    H = W = 32
+    x = rng.random((5, H, W)).astype(np.float32)
+    want = np.asarray(Scattering2D(2, 8, H, W, mode="fft").features(x))
+    got = np.asarray(
+        fused_scattering_j2(8, H, W, layout="tall2").features(x))
+    assert got.shape == (5, 162)
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
 def test_fused_l4(interpreted_pallas, rng):
     from wst_tpu.ops.pallas.fused_scattering import fused_scattering_j2
     from wst_tpu.ops.scattering import Scattering2D

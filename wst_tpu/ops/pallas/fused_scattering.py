@@ -163,15 +163,26 @@ def _make_kernel(L: int, n: int, n_coeffs: int,
     return kernel
 
 
-def _make_kernel_wide(L: int, n: int, n_coeffs: int,
-                      precision: str = "default"):
-    """Orientation-batched ("wide") kernel variant.
+def _make_kernel_batched(L: int, n: int, n_coeffs: int,
+                         precision: str = "default", B: int = 1):
+    """Orientation- and image-batched kernel variant.
 
-    All row-side DFT matmuls operate on the L orientations lane-concatenated
-    into one (m, L*m) operand — one wide MXU matmul instead of L narrow
-    ones; the column-side products stay per-orientation.  ~Half the matmul
-    volume runs at 8x the lane width, which better occupies the 128-lane
-    systolic array for these small transform sizes.
+    Two batching axes fight the MXU's pipeline fill/drain overhead on these
+    small (~128-point) transforms:
+
+    * lanes — the L orientations are lane-concatenated into one (m, L*m)
+      operand, so every row-side (left-multiply) DFT is a single wide MXU
+      product instead of L narrow ones ("wide" layout, B=1);
+    * sublanes — B images are additionally row-stacked into (B*m, L*m)
+      operands, so every column-side (right-multiply) DFT runs once per
+      orientation on a B*m-row operand instead of once per (image,
+      orientation) on an m-row one ("tall" layout, B>=2).  Left-multiplies
+      keep one matmul per image (their row dim is the transform dim), but
+      the right-multiply count halves at B=2 with 2x taller operands.
+
+    VMEM bounds B: live stacked buffers are (B*n, L*n) f32; at n=128, L=8
+    that is B x 512 KB per buffer with ~8 concurrently live, so B=2 fits
+    the ~16 MB VMEM budget and B>=4 generally does not.
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -193,98 +204,123 @@ def _make_kernel_wide(L: int, n: int, n_coeffs: int,
         Gqc, Gqs = gqc_ref[0], gqs_ref[0]
         Ghc, Ghs = ghc_ref[0], ghs_ref[0]
         Gq2c, Gq2s = gq2c_ref[0], gq2s_ref[0]
-        x = x_ref[0]
 
-        # Lane-concatenated filter banks (built once per kernel instance).
-        psi0cat = jnp.concatenate([psi0_ref[0, t] for t in range(L)], axis=1)
-        psi1cat = jnp.concatenate([psi1_ref[0, t] for t in range(L)], axis=1)
+        def vstack(blocks):
+            return blocks[0] if len(blocks) == 1 else jnp.concatenate(
+                blocks, axis=0)
 
-        rr, ri = mm(C, x), -mm(S, x)
-        Xr = mm(rr, C) + mm(ri, S)
-        Xi = mm(ri, C) - mm(rr, S)
+        def rtile(mat):
+            """Row-tile a per-image constant across the B image blocks."""
+            return mat if B == 1 else pltpu.repeat(mat, B, axis=0)
 
-        def idft_real(zr, zi, Gc, Gs, m_out):
-            ar = mm(Gc, zr) - mm(Gs, zi)
-            ai = mm(Gc, zi) + mm(Gs, zr)
-            return (mm(ar, Gc.T) - mm(ai, Gs.T)) / f32(m_out * m_out)
+        # Lane-concatenated filter banks (built once per kernel instance),
+        # row-tiled across the image blocks.
+        psi0cat = rtile(jnp.concatenate([psi0_ref[0, t] for t in range(L)],
+                                        axis=1))
+        psi1cat = rtile(jnp.concatenate([psi1_ref[0, t] for t in range(L)],
+                                        axis=1))
+        phi0 = rtile(phi0_ref[0])                      # (B*n, n)
+        ph0cat = rtile(pltpu.repeat(phi0_ref[0], L, axis=1))
+        ph1cat = rtile(pltpu.repeat(phi1_ref[0], L, axis=1))
 
-        def pool(smap, slot):
-            out_ref[0, slot] = smap
+        def left_rows(Gc, Gs, Zr, Zi, m_in):
+            """Per-image left-multiply of a row-stacked complex operand:
+            (B*m_in, W) -> (B*m_out, W).  One matmul per image block."""
+            ars, ais = [], []
+            for b in range(B):
+                zr = Zr[b * m_in:(b + 1) * m_in]
+                zi = Zi[b * m_in:(b + 1) * m_in]
+                ars.append(mm(Gc, zr) - mm(Gs, zi))
+                ais.append(mm(Gc, zi) + mm(Gs, zr))
+            return vstack(ars), vstack(ais)
 
-        def cat_rows(Gc, Gs, Zr, Zi):
-            """Batched row transform of lane-cat complex operand."""
-            return (mm(Gc, Zr) - mm(Gs, Zi), mm(Gc, Zi) + mm(Gs, Zr))
-
-        def per_block_cols_c(ar, ai, Gc, Gs, m_in, m_out, t):
+        def right_cols_c(ar, ai, Gc, Gs, m_in, m_out, t):
+            """Right-multiply of lane-block t — row-batched over all B
+            images in one tall matmul."""
             sl_r = ar[:, t * m_in:(t + 1) * m_in]
             sl_i = ai[:, t * m_in:(t + 1) * m_in]
             return ((mm(sl_r, Gc.T) - mm(sl_i, Gs.T)) / f32(m_out * m_out),
                     (mm(sl_i, Gc.T) + mm(sl_r, Gs.T)) / f32(m_out * m_out))
 
-        # S0.
-        pool(idft_real(Xr * phi0_ref[0], Xi * phi0_ref[0], Gqc, Gqs, nq), 0)
+        def pool(smap, slot, m_out):
+            for b in range(B):
+                out_ref[b, slot] = smap[b * m_out:(b + 1) * m_out]
+
+        # fft2 of the B input images, row-stacked: (B*n, n) spectra.
+        rr = vstack([mm(C, x_ref[b]) for b in range(B)])
+        ri = vstack([-(mm(S, x_ref[b])) for b in range(B)])
+        Xr = mm(rr, C) + mm(ri, S)
+        Xi = mm(ri, C) - mm(rr, S)
+
+        # S0: phi low-pass, fused fold-by-4 inverse DFT.
+        ar0, ai0 = left_rows(Gqc, Gqs, Xr * phi0, Xi * phi0, n)
+        pool((mm(ar0, Gqc.T) - mm(ai0, Gqs.T)) / f32(nq * nq), 0, nq)
 
         slot2 = 1 + 2 * L
 
-        def order1_block(Gc, Gs, m1, Cm, Sm, psicat, phi, Gq_c, Gq_s,
+        def order1_block(Gc, Gs, m1, Cm, Sm, psicat, phicat, Gq_c, Gq_s,
                          base_slot):
-            """One j1 level for all t1: returns lane-cat spectra (V) of the
-            modulus fields at resolution m1."""
+            """One j1 level for all t1: returns per-t1 row-stacked spectra
+            (V) of the modulus fields at resolution m1."""
             Qr = pltpu.repeat(Xr, L, axis=1) * psicat
             Qi = pltpu.repeat(Xi, L, axis=1) * psicat
-            ar, ai = cat_rows(Gc, Gs, Qr, Qi)          # (m1, L*n)
+            ar, ai = left_rows(Gc, Gs, Qr, Qi, n)      # (B*m1, L*n)
             U1s = []
             for t in range(L):
-                ur, ui = per_block_cols_c(ar, ai, Gc, Gs, n, m1, t)
+                ur, ui = right_cols_c(ar, ai, Gc, Gs, n, m1, t)
                 U1s.append(jnp.sqrt(ur * ur + ui * ui))
-            U1cat = jnp.concatenate(U1s, axis=1)       # (m1, L*m1)
-            a, b = mm(Cm, U1cat), -mm(Sm, U1cat)       # batched fft rows
+            U1cat = jnp.concatenate(U1s, axis=1)       # (B*m1, L*m1)
+            a = vstack([mm(Cm, U1cat[b * m1:(b + 1) * m1])
+                        for b in range(B)])
+            bq = vstack([-(mm(Sm, U1cat[b * m1:(b + 1) * m1]))
+                         for b in range(B)])
             Vr_blocks, Vi_blocks = [], []
             for t in range(L):
                 sl = slice(t * m1, (t + 1) * m1)
-                vr = mm(a[:, sl], Cm) + mm(b[:, sl], Sm)
-                vi = mm(b[:, sl], Cm) - mm(a[:, sl], Sm)
-                Vr_blocks.append(vr)
-                Vi_blocks.append(vi)
+                Vr_blocks.append(mm(a[:, sl], Cm) + mm(bq[:, sl], Sm))
+                Vi_blocks.append(mm(bq[:, sl], Cm) - mm(a[:, sl], Sm))
             Vrcat = jnp.concatenate(Vr_blocks, axis=1)
             Vicat = jnp.concatenate(Vi_blocks, axis=1)
-            # S1 pooling path, batched rows.
-            phicat = pltpu.repeat(phi, L, axis=1)
-            pr, pi = cat_rows(Gq_c, Gq_s, Vrcat * phicat, Vicat * phicat)
+            # S1 pooling path.
+            pr, pi = left_rows(Gq_c, Gq_s, Vrcat * phicat, Vicat * phicat,
+                               m1)
             for t in range(L):
-                sr, si = per_block_cols_c(pr, pi, Gq_c, Gq_s, m1, nq, t)
-                pool(sr, base_slot + t)
+                sr, _si = right_cols_c(pr, pi, Gq_c, Gq_s, m1, nq, t)
+                pool(sr, base_slot + t, nq)
             return Vr_blocks, Vi_blocks
 
         # j1 = 0 (full res) + order-2 children.
         Vr_blocks, Vi_blocks = order1_block(
-            C, S, n, C, S, psi0cat, phi0_ref[0], Gqc, Gqs, 1)
+            C, S, n, C, S, psi0cat, ph0cat, Gqc, Gqs, 1)
         for t1 in range(L):
-            Vr, Vi = Vr_blocks[t1], Vi_blocks[t1]
+            Vr, Vi = Vr_blocks[t1], Vi_blocks[t1]      # (B*n, n)
             Qr = pltpu.repeat(Vr, L, axis=1) * psi1cat
             Qi = pltpu.repeat(Vi, L, axis=1) * psi1cat
-            ar, ai = cat_rows(Ghc, Ghs, Qr, Qi)        # (nh, L*n)
+            ar, ai = left_rows(Ghc, Ghs, Qr, Qi, n)    # (B*nh, L*n)
             U2s = []
             for t2 in range(L):
-                ur, ui = per_block_cols_c(ar, ai, Ghc, Ghs, n, nh, t2)
+                ur, ui = right_cols_c(ar, ai, Ghc, Ghs, n, nh, t2)
                 U2s.append(jnp.sqrt(ur * ur + ui * ui))
-            U2cat = jnp.concatenate(U2s, axis=1)       # (nh, L*nh)
-            a, b = mm(Ch, U2cat), -mm(Sh, U2cat)
+            U2cat = jnp.concatenate(U2s, axis=1)       # (B*nh, L*nh)
+            a = vstack([mm(Ch, U2cat[b * nh:(b + 1) * nh])
+                        for b in range(B)])
+            bq = vstack([-(mm(Sh, U2cat[b * nh:(b + 1) * nh]))
+                         for b in range(B)])
             Wr_list, Wi_list = [], []
             for t2 in range(L):
                 sl = slice(t2 * nh, (t2 + 1) * nh)
-                Wr_list.append(mm(a[:, sl], Ch) + mm(b[:, sl], Sh))
-                Wi_list.append(mm(b[:, sl], Ch) - mm(a[:, sl], Sh))
+                Wr_list.append(mm(a[:, sl], Ch) + mm(bq[:, sl], Sh))
+                Wi_list.append(mm(bq[:, sl], Ch) - mm(a[:, sl], Sh))
             Wrcat = jnp.concatenate(Wr_list, axis=1)
             Wicat = jnp.concatenate(Wi_list, axis=1)
-            ph1cat = pltpu.repeat(phi1_ref[0], L, axis=1)
-            pr, pi = cat_rows(Gq2c, Gq2s, Wrcat * ph1cat, Wicat * ph1cat)
+            pr, pi = left_rows(Gq2c, Gq2s, Wrcat * ph1cat, Wicat * ph1cat,
+                               nh)
             for t2 in range(L):
-                sr, _si = per_block_cols_c(pr, pi, Gq2c, Gq2s, nh, nq, t2)
-                pool(sr, slot2 + t1 * L + t2)
+                sr, _si = right_cols_c(pr, pi, Gq2c, Gq2s, nh, nq, t2)
+                pool(sr, slot2 + t1 * L + t2, nq)
 
         # j1 = 1.
-        order1_block(Ghc, Ghs, nh, Ch, Sh, psi1cat, phi1_ref[0],
+        order1_block(Ghc, Ghs, nh, Ch, Sh, psi1cat, ph1cat,
                      Gq2c, Gq2s, 1 + L)
 
     return kernel
@@ -300,8 +336,15 @@ def _compiled(L: int, H: int, W: int, precision: str = "default",
     n = bank.M_pad
     nh, nq = n // 2, n // 4
     K = bank.n_coeffs
-    make = _make_kernel_wide if layout == "wide" else _make_kernel
-    kernel = make(L, n, K, precision)
+    if layout == "narrow":
+        kernel, B = _make_kernel(L, n, K, precision), 1
+    elif layout == "wide":
+        kernel, B = _make_kernel_batched(L, n, K, precision, B=1), 1
+    elif layout.startswith("tall"):
+        B = int(layout[4:] or 2)
+        kernel = _make_kernel_batched(L, n, K, precision, B=B)
+    else:
+        raise ValueError(f"unknown layout: {layout!r}")
     del nh  # only nq appears in the output spec
 
     def bcast_spec(shape):
@@ -313,21 +356,26 @@ def _compiled(L: int, H: int, W: int, precision: str = "default",
                    "s_h", "gq_c", "gq_s", "gh_c", "gh_s", "gq2_c", "gq2_s"]
 
     def run(xpad, params):
-        B = xpad.shape[0]
+        nb = xpad.shape[0]
+        pad_b = (-nb) % B
+        if pad_b:
+            xpad = jnp.pad(xpad, ((0, pad_b), (0, 0), (0, 0)))
         grid_spec = pl.GridSpec(
-            grid=(B,),
-            in_specs=[pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+            grid=((nb + pad_b) // B,),
+            in_specs=[pl.BlockSpec((B, n, n), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)]
             + [bcast_spec(tuple(params[k].shape)) for k in const_order],
-            out_specs=pl.BlockSpec((1, K, nq, nq),
+            out_specs=pl.BlockSpec((B, K, nq, nq),
                                    lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
         )
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((B, K, nq, nq), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((nb + pad_b, K, nq, nq),
+                                           jnp.float32),
         )(xpad, *[params[k][None] for k in const_order])
+        return out[:nb] if pad_b else out
 
     pad_h, pad_w = bank.pad_h, bank.pad_w
 
