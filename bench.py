@@ -82,14 +82,15 @@ def main():
     # reading per candidate regardless of order.
     plan = [("xla_matmul", lambda: bench_xla(batch, iters))]
     if on_tpu:
-        plan += [("pallas_periodic", lambda: bench_pallas(batch, iters,
-                                                          "periodic")),
-                 ("pallas_periodic_tall2",
+        # tall2 first: the fastest measured layout (12,080 patches/s).
+        # reflect+tall2 is omitted: its stacked VMEM working set exceeds
+        # the 16 MB budget on the 136-point reflect-padded grid.
+        plan += [("pallas_periodic_tall2",
                   lambda: bench_pallas(batch, iters, "periodic", "tall2")),
+                 ("pallas_periodic", lambda: bench_pallas(batch, iters,
+                                                          "periodic")),
                  ("pallas_reflect", lambda: bench_pallas(batch, iters,
-                                                         "reflect")),
-                 ("pallas_reflect_tall2",
-                  lambda: bench_pallas(batch, iters, "reflect", "tall2"))]
+                                                         "reflect"))]
 
     candidates = {}
     fns = {}

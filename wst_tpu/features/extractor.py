@@ -64,8 +64,13 @@ class FeatureExtractor:
                     fused_scattering_j2)
                 if J != 2:
                     raise ValueError("pallas mode supports J=2 only")
+                # Image-pair ("tall2") layout is fastest but its stacked
+                # VMEM working set only fits on the lane-aligned periodic
+                # grid; the reflect grid (136-pad) keeps the wide layout.
+                layout = "tall2" if boundary == "periodic" else "wide"
                 self._fused = fused_scattering_j2(L, H, W,
-                                                  boundary=boundary)
+                                                  boundary=boundary,
+                                                  layout=layout)
             else:
                 self._scattering = get_scattering(J, L, H, W, 2, mode,
                                                   boundary)
