@@ -62,6 +62,19 @@ def test_scene_classification(trained):
     assert (right_classes == "trees").mean() >= 0.5
 
 
+def test_scene_uint8_matches_float(trained):
+    """A native-uint8 raster (transferred 4x smaller, converted on device)
+    classifies identically to its float32 version."""
+    model, selection = trained
+    sc = SceneClassifier(model, selection, "advanced_stats", patch=32,
+                         mesh=make_mesh(4), batch_size=8)
+    rng = np.random.default_rng(3)
+    scene_u8 = rng.integers(0, 256, (3, 70, 100), dtype=np.uint8)
+    out_u8 = sc.classify(scene_u8)
+    out_f32 = sc.classify(scene_u8.astype(np.float32) / 255.0)
+    np.testing.assert_array_equal(out_u8["class_map"], out_f32["class_map"])
+
+
 def test_scene_matches_patchwise(trained):
     model, selection = trained
     sc = SceneClassifier(model, selection, "advanced_stats", patch=32,

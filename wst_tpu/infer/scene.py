@@ -37,15 +37,25 @@ def tile_scene(scene: np.ndarray, patch: int, stride: Optional[int] = None
     C, H, W = scene.shape
     if H < patch or W < patch:
         raise ValueError(f"scene {H}x{W} smaller than patch {patch}")
+    ys, xs = tile_coords((H, W), patch, stride)
+    tiles = np.stack([scene[:, y:y + patch, x:x + patch]
+                      for y in ys for x in xs])
+    return tiles, (len(ys), len(xs))
+
+
+def tile_coords(hw: Tuple[int, int], patch: int,
+                stride: Optional[int] = None
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-left (ys, xs) of every sliding-window tile, edges clamped."""
+    stride = stride or patch
+    H, W = hw
     ys = list(range(0, H - patch + 1, stride))
     xs = list(range(0, W - patch + 1, stride))
     if ys[-1] != H - patch:
         ys.append(H - patch)
     if xs[-1] != W - patch:
         xs.append(W - patch)
-    tiles = np.stack([scene[:, y:y + patch, x:x + patch]
-                      for y in ys for x in xs])
-    return tiles, (len(ys), len(xs))
+    return np.asarray(ys, np.int32), np.asarray(xs, np.int32)
 
 
 class SceneClassifier:
@@ -85,21 +95,47 @@ class SceneClassifier:
 
         self._step = jax.jit(step)
 
+        p = self.patch
+
+        def step_scene(scene, ys, xs):
+            """Tile ON DEVICE: the scene crosses the host->device link once
+            (uint8 if the caller keeps rasters in native u8 — 12x less
+            transfer than per-tile float32 duplication), and each batch's
+            tiles are gathered with dynamic slices."""
+            def get(y, x):
+                return jax.lax.dynamic_slice(scene, (0, y, x), (3, p, p))
+            tiles = jax.vmap(get)(ys, xs)
+            if tiles.dtype == jnp.uint8:
+                tiles = tiles.astype(jnp.float32) / 255.0
+            return step(tiles)
+
+        self._step_scene = jax.jit(step_scene)
+
     def classify(self, scene: np.ndarray, stride: Optional[int] = None
                  ) -> Dict[str, np.ndarray]:
-        """scene: (3, H, W) float32 in [0,1] -> dict with 'class_map'
-        (rows, cols) of class indices, 'confidence' and 'labels'."""
-        tiles, grid = tile_scene(scene, self.patch, stride)
-        n = len(tiles)
+        """scene: (3, H, W) float32 in [0,1] (or uint8 in [0,255]) ->
+        dict with 'class_map' (rows, cols) of class indices, 'confidence'
+        and 'labels'."""
+        ys, xs = tile_coords(scene.shape[1:], self.patch, stride)
+        grid = (len(ys), len(xs))
+        coords = np.stack(np.meshgrid(ys, xs, indexing="ij"),
+                          axis=-1).reshape(-1, 2)
+        n = len(coords)
         bs = self.batch_size
         pad = (-n) % bs if n > bs else bs - n
         if pad:
-            tiles = np.concatenate(
-                [tiles, np.repeat(tiles[-1:], pad, axis=0)])
+            coords = np.concatenate(
+                [coords, np.repeat(coords[-1:], pad, axis=0)])
         ids, confs = [], []
         with self.mesh:
-            for i in range(0, len(tiles), bs):
-                a, c = self._step(jnp.asarray(tiles[i:i + bs]))
+            scene_dev = jax.device_put(np.ascontiguousarray(scene))
+            outs = []
+            for i in range(0, len(coords), bs):
+                outs.append(self._step_scene(
+                    scene_dev, jnp.asarray(coords[i:i + bs, 0]),
+                    jnp.asarray(coords[i:i + bs, 1])))
+            # fetch after all batches are submitted (no per-batch sync)
+            for a, c in outs:
                 ids.append(np.asarray(a))
                 confs.append(np.asarray(c))
         ids = np.concatenate(ids)[:n].reshape(grid)
