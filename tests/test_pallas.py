@@ -85,3 +85,52 @@ def test_fused_periodic_matches_reference(interpreted_pallas, rng):
                                          boundary="periodic").features(x))
     assert got.shape == (2, 162)
     assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
+@pytest.fixture()
+def interpreted_pallas_general(interpreted_pallas):
+    """Also clear the general-J kernel's compile cache around the patch."""
+    from wst_tpu.ops.pallas import fused_general
+    fused_general._compiled.cache_clear()
+    yield
+    fused_general._compiled.cache_clear()
+
+
+@pytest.mark.parametrize("boundary", ["reflect", "periodic"])
+def test_fused_general_j3(interpreted_pallas_general, rng, boundary):
+    """General-J fused cascade (deep scattering) vs the jnp oracle path."""
+    from wst_tpu.ops.pallas.fused_general import FusedScattering
+    from wst_tpu.ops.scattering import Scattering2D
+
+    H = W = 32
+    x = rng.random((2, H, W)).astype(np.float32)
+    want = np.asarray(Scattering2D(3, 8, H, W, mode="fft",
+                                   boundary=boundary).features(x))
+    got = np.asarray(FusedScattering(3, 8, H, W,
+                                     boundary=boundary).features(x))
+    assert got.shape == (2, 2 * 217)          # 1 + 3*8 + 64*3 = 217 paths
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
+def test_fused_general_j3_tall_odd_batch(interpreted_pallas_general, rng):
+    """tall2 layout with an odd batch (padding path) at J=3."""
+    from wst_tpu.ops.pallas.fused_general import FusedScattering
+    from wst_tpu.ops.scattering import Scattering2D
+
+    H = W = 32
+    x = rng.random((3, H, W)).astype(np.float32)
+    want = np.asarray(Scattering2D(3, 8, H, W, mode="fft",
+                                   boundary="periodic").features(x))
+    got = np.asarray(FusedScattering(3, 8, H, W, boundary="periodic",
+                                     layout="tall2").features(x))
+    assert got.shape == (3, 434)
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
+def test_fused_general_routes_j2(interpreted_pallas_general, rng):
+    """The factory returns the tuned J=2 kernel for J=2."""
+    from wst_tpu.ops.pallas.fused_general import fused_scattering
+    from wst_tpu.ops.pallas.fused_scattering import FusedScatteringJ2
+
+    f = fused_scattering(2, 8, 32, 32)
+    assert isinstance(f, FusedScatteringJ2)

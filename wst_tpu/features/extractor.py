@@ -59,18 +59,16 @@ class FeatureExtractor:
         self._fused = None
         if method in ("wst", "hybrid"):
             if mode == "pallas":
-                # Fused TPU kernel (J=2 only): the fastest path.
-                from wst_tpu.ops.pallas.fused_scattering import (
-                    fused_scattering_j2)
-                if J != 2:
-                    raise ValueError("pallas mode supports J=2 only")
+                # Fused TPU kernel: the fastest path.  J=2 routes to the
+                # tuned kernel, deeper J to the general fused cascade.
+                from wst_tpu.ops.pallas.fused_general import fused_scattering
                 # Image-pair ("tall2") layout is fastest but its stacked
                 # VMEM working set only fits on the lane-aligned periodic
                 # grid; the reflect grid (136-pad) keeps the wide layout.
                 layout = "tall2" if boundary == "periodic" else "wide"
-                self._fused = fused_scattering_j2(L, H, W,
-                                                  boundary=boundary,
-                                                  layout=layout)
+                self._fused = fused_scattering(J, L, H, W,
+                                               boundary=boundary,
+                                               layout=layout)
             else:
                 self._scattering = get_scattering(J, L, H, W, 2, mode,
                                                   boundary)

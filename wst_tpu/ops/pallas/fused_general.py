@@ -1,0 +1,313 @@
+"""General-J fused Pallas TPU kernel for the order-2 scattering cascade.
+
+Extends the J=2 kernel of ``fused_scattering.py`` (D4) to arbitrary depth —
+the BASELINE "deep scattering" configuration (J=4, L=8, 128x128) runs the
+whole 417-coefficient cascade per image inside one grid program with every
+intermediate resident in VMEM, instead of the XLA path's per-stage HBM
+round-trips (the measured bottleneck at J=4).
+
+Layout follows the tuned J=2 "wide"/"tall" kernels: the L orientations are
+lane-concatenated so row-side DFTs are single wide MXU products, and
+(optionally) B images are sublane-stacked so column-side DFTs run on taller
+operands.  Fourier-domain subsampling (fold by 2**d) is fused into the
+inverse-DFT matrices per (resolution, fold) pair, so the kernel is pure 2-D
+matmul + elementwise (Mosaic cannot lower >2-D reshapes).
+
+Coefficient ordering matches ``build_path_meta`` — zeroth; order-1 by
+(j1, theta1); order-2 by (j1, theta1, j2 > j1, theta2) — i.e. the reference
+engine's feature indices (reference: src/training/train_and_save_model.py:
+400-427).  The J=2 specialization of this kernel is numerically identical to
+``fused_scattering_j2``; that tuned variant remains the J=2 default.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wst_tpu.ops.filter_bank import get_filter_bank
+from wst_tpu.ops.scattering import _dft_mats
+from wst_tpu.ops.pallas.fused_scattering import _fold_mat
+
+
+def _build_constants(J: int, L: int, H: int, W: int, boundary: str):
+    """Filter banks + per-resolution DFT / fused fold-iDFT matrices.
+
+    Returns (bank, {name: f32 array}, ordered name list).  Matrices:
+
+    * ``psi_{j}_{res}`` : (L, m, m) Morlet bank of scale j periodized to
+      resolution ``res`` (order-1 uses res 0; order-2 scale j2 applies at
+      the res j1 of its parent).
+    * ``phi_{res}``     : (m, m) low-pass at each resolution.
+    * ``c_{r}, s_{r}``  : m-point DFT cos/sin matrices, m = n >> r.
+    * ``g_{r}_{d}_{c,s}``: (m>>d, m) fold-by-2**d fused inverse-DFT factors
+      ``C_{m>>d} @ P`` with ``P = tile(I)/2**d``.
+    """
+    bank = get_filter_bank(J, L, H, W, 2, boundary)
+    n = bank.M_pad
+    assert bank.N_pad == n, "kernel assumes square padded grid"
+    consts = {}
+    for (j, res), v in bank.psi_f.items():
+        consts[f"psi_{j}_{res}"] = v
+    for res, v in bank.phi_f.items():
+        consts[f"phi_{res}"] = v
+    for r in range(J):
+        m = n >> r
+        c, s = _dft_mats(m)
+        consts[f"c_{r}"], consts[f"s_{r}"] = c, s
+        for d in range(1, J - r + 1):
+            p = _fold_mat(m, 1 << d)
+            cc, ss = _dft_mats(m >> d)
+            consts[f"g_{r}_{d}_c"] = cc @ p
+            consts[f"g_{r}_{d}_s"] = ss @ p
+    names = sorted(consts)
+    return bank, {k: jnp.asarray(v, jnp.float32) for k, v in consts.items()}, names
+
+
+def _make_kernel(J: int, L: int, n: int, meta, const_names,
+                 precision: str = "default", B: int = 1):
+    from jax.experimental.pallas import tpu as pltpu
+
+    no = n >> J                                    # output map resolution
+    f32 = jnp.float32
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    slot = {p: i for i, p in enumerate(meta.paths)}
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32, precision=prec)
+
+    def kernel(x_ref, *refs):
+        out_ref = refs[-1]
+        cref = dict(zip(const_names, refs[:-1]))
+
+        def R(name):
+            return cref[name][0]
+
+        def vstack(blocks):
+            return blocks[0] if len(blocks) == 1 else jnp.concatenate(
+                blocks, axis=0)
+
+        def rtile(mat):
+            return mat if B == 1 else pltpu.repeat(mat, B, axis=0)
+
+        def g(r, d):
+            if d == 0:
+                return R(f"c_{r}"), R(f"s_{r}")
+            return R(f"g_{r}_{d}_c"), R(f"g_{r}_{d}_s")
+
+        def psicat(j, res):
+            filts = R(f"psi_{j}_{res}")
+            return rtile(jnp.concatenate([filts[t] for t in range(L)],
+                                         axis=1))
+
+        def phicat(res):
+            return rtile(pltpu.repeat(R(f"phi_{res}"), L, axis=1))
+
+        def left_rows(Gc, Gs, Zr, Zi, m_in):
+            """Per-image left-multiply of a row-stacked complex operand."""
+            ars, ais = [], []
+            for b in range(B):
+                zr = Zr[b * m_in:(b + 1) * m_in]
+                zi = Zi[b * m_in:(b + 1) * m_in]
+                ars.append(mm(Gc, zr) - mm(Gs, zi))
+                ais.append(mm(Gc, zi) + mm(Gs, zr))
+            return vstack(ars), vstack(ais)
+
+        def right_cols_c(ar, ai, Gc, Gs, m_in, m_out, t):
+            """Right-multiply of lane-block t, row-batched over B images."""
+            sl_r = ar[:, t * m_in:(t + 1) * m_in]
+            sl_i = ai[:, t * m_in:(t + 1) * m_in]
+            return ((mm(sl_r, Gc.T) - mm(sl_i, Gs.T)) / f32(m_out * m_out),
+                    (mm(sl_i, Gc.T) + mm(sl_r, Gs.T)) / f32(m_out * m_out))
+
+        def pool(smap, k):
+            for b in range(B):
+                out_ref[b, k] = smap[b * no:(b + 1) * no]
+
+        def wavelet_layer(Zr, Zi, psic, Gc, Gs, Cm, Sm, m_in, m_out):
+            """|ifft(fold_{m_in/m_out}(Z * psi))| for all L orientations,
+            returning the per-orientation spectra of the modulus fields."""
+            Qr = pltpu.repeat(Zr, L, axis=1) * psic
+            Qi = pltpu.repeat(Zi, L, axis=1) * psic
+            ar, ai = left_rows(Gc, Gs, Qr, Qi, m_in)   # (B*m_out, L*m_in)
+            Us = []
+            for t in range(L):
+                ur, ui = right_cols_c(ar, ai, Gc, Gs, m_in, m_out, t)
+                Us.append(jnp.sqrt(ur * ur + ui * ui))
+            Ucat = jnp.concatenate(Us, axis=1)         # (B*m_out, L*m_out)
+            a = vstack([mm(Cm, Ucat[b * m_out:(b + 1) * m_out])
+                        for b in range(B)])
+            bq = vstack([-(mm(Sm, Ucat[b * m_out:(b + 1) * m_out]))
+                         for b in range(B)])
+            Vr_blocks, Vi_blocks = [], []
+            for t in range(L):
+                sl = slice(t * m_out, (t + 1) * m_out)
+                Vr_blocks.append(mm(a[:, sl], Cm) + mm(bq[:, sl], Sm))
+                Vi_blocks.append(mm(bq[:, sl], Cm) - mm(a[:, sl], Sm))
+            return Vr_blocks, Vi_blocks
+
+        def pool_layer(Vr_blocks, Vi_blocks, phic, res, m_in, slots):
+            """phi low-pass + fold to the output resolution, one lane-wide
+            matmul pass for all L orientations; pooled maps -> out slots."""
+            Gc, Gs = g(res, J - res)
+            Vrcat = jnp.concatenate(Vr_blocks, axis=1)
+            Vicat = jnp.concatenate(Vi_blocks, axis=1)
+            pr, pi = left_rows(Gc, Gs, Vrcat * phic, Vicat * phic, m_in)
+            for t in range(L):
+                sr, _si = right_cols_c(pr, pi, Gc, Gs, m_in, no, t)
+                pool(sr, slots[t])
+
+        # fft2 of the B input images, row-stacked: (B*n, n) spectra.
+        C0, S0 = R("c_0"), R("s_0")
+        rr = vstack([mm(C0, x_ref[b]) for b in range(B)])
+        ri = vstack([-(mm(S0, x_ref[b])) for b in range(B)])
+        Xr = mm(rr, C0) + mm(ri, S0)
+        Xi = mm(ri, C0) - mm(rr, S0)
+
+        # S0: phi low-pass, fold-by-2**J fused inverse DFT.
+        phi0 = rtile(R("phi_0"))
+        Gc, Gs = g(0, J)
+        ar0, ai0 = left_rows(Gc, Gs, Xr * phi0, Xi * phi0, n)
+        pool((mm(ar0, Gc.T) - mm(ai0, Gs.T)) / f32(no * no), 0)
+
+        for j1 in range(J):
+            m1 = n >> j1
+            Gc1, Gs1 = g(0, j1)
+            V1r, V1i = wavelet_layer(Xr, Xi, psicat(j1, 0), Gc1, Gs1,
+                                     R(f"c_{j1}"), R(f"s_{j1}"), n, m1)
+            pool_layer(V1r, V1i, phicat(j1), j1, m1,
+                       [slot[(1, j1, t1, -1, -1)] for t1 in range(L)])
+            for j2 in range(j1 + 1, J):
+                m2 = n >> j2
+                psic2 = psicat(j2, j1)
+                phic2 = phicat(j2)
+                Gc2, Gs2 = g(j1, j2 - j1)
+                Cm2, Sm2 = R(f"c_{j2}"), R(f"s_{j2}")
+                for t1 in range(L):
+                    V2r, V2i = wavelet_layer(V1r[t1], V1i[t1], psic2,
+                                             Gc2, Gs2, Cm2, Sm2, m1, m2)
+                    pool_layer(V2r, V2i, phic2, j2, m2,
+                               [slot[(2, j1, t1, j2, t2)]
+                                for t2 in range(L)])
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled(J: int, L: int, H: int, W: int, precision: str = "default",
+              boundary: str = "reflect", layout: str = "wide"):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bank, consts, const_names = _build_constants(J, L, H, W, boundary)
+    n = bank.M_pad
+    no = n >> J
+    K = bank.n_coeffs
+    if layout == "wide":
+        B = 1
+    elif layout.startswith("tall"):
+        B = int(layout[4:] or 2)
+    else:
+        raise ValueError(f"unknown layout: {layout!r}")
+    kernel = _make_kernel(J, L, n, bank.meta, const_names, precision, B)
+
+    def bcast_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape, lambda i: (0,) * (nd + 1),
+                            memory_space=pltpu.VMEM)
+
+    def run(xpad, params):
+        nb = xpad.shape[0]
+        pad_b = (-nb) % B
+        if pad_b:
+            xpad = jnp.pad(xpad, ((0, pad_b), (0, 0), (0, 0)))
+        grid_spec = pl.GridSpec(
+            grid=((nb + pad_b) // B,),
+            in_specs=[pl.BlockSpec((B, n, n), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+            + [bcast_spec(tuple(params[k].shape)) for k in const_names],
+            out_specs=pl.BlockSpec((B, K, no, no),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb + pad_b, K, no, no),
+                                           jnp.float32),
+        )(xpad, *[params[k][None] for k in const_names])
+        return out[:nb] if pad_b else out
+
+    pad_h, pad_w = bank.pad_h, bank.pad_w
+
+    def _prep(x):
+        if pad_h == 0 and pad_w == 0:
+            return x
+        return jnp.pad(x, ((0, 0), (pad_h, pad_h), (pad_w, pad_w)),
+                       mode="reflect")
+
+    def _crop(maps):
+        return maps[..., 1:-1, 1:-1] if bank.boundary == "reflect" else maps
+
+    @jax.jit
+    def features(x, params):
+        """x: (B, H, W) float32 -> (B, 2K) [means then stds]."""
+        maps = _crop(run(_prep(x), params))
+        mean = jnp.mean(maps, axis=(-2, -1))
+        std = jnp.std(maps, axis=(-2, -1))
+        return jnp.concatenate([mean, std], axis=-1)
+
+    @jax.jit
+    def coeff_maps(x, params):
+        return _crop(run(_prep(x), params))
+
+    features.coeff_maps = coeff_maps
+    return features, consts, bank
+
+
+class FusedScattering:
+    """Pallas-fused order-2 scattering extractor for arbitrary J.
+
+    Same surface as ``FusedScatteringJ2`` (the tuned J=2 kernel, which
+    remains the J=2 default); this class covers the deep configurations,
+    e.g. BASELINE's J=4, L=8 @ 128x128 (417 coefficient maps/channel).
+    """
+
+    def __init__(self, J: int, L: int, H: int, W: int,
+                 precision: str = "default", boundary: str = "reflect",
+                 layout: str = "wide"):
+        self._features, self._params, self.bank = _compiled(
+            J, L, H, W, precision, boundary, layout)
+
+    @property
+    def n_coeffs(self) -> int:
+        return self.bank.n_coeffs
+
+    def features(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (..., H, W) -> (..., 2 * n_coeffs)."""
+        lead = x.shape[:-2]
+        xb = x.reshape((-1,) + x.shape[-2:]).astype(jnp.float32)
+        out = self._features(xb, self._params)
+        return out.reshape(lead + (out.shape[-1],))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (..., H, W) -> (..., n_coeffs, h, w) coefficient maps."""
+        lead = x.shape[:-2]
+        xb = x.reshape((-1,) + x.shape[-2:]).astype(jnp.float32)
+        out = self._features.coeff_maps(xb, self._params)
+        return out.reshape(lead + out.shape[1:])
+
+
+def fused_scattering(J: int, L: int, H: int, W: int,
+                     precision: str = "default", boundary: str = "reflect",
+                     layout: str = "wide"):
+    """Fused-kernel factory: tuned J=2 kernel, general kernel otherwise."""
+    if J == 2:
+        from wst_tpu.ops.pallas.fused_scattering import fused_scattering_j2
+        return fused_scattering_j2(L, H, W, precision, boundary, layout)
+    return FusedScattering(J, L, H, W, precision, boundary, layout)
