@@ -235,11 +235,21 @@ def _compiled(J: int, L: int, H: int, W: int, precision: str = "default",
                                    lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
         )
+        try:
+            # Deep reflect grids (e.g. J=4's 160-pad) need ~17 MB of scoped
+            # VMEM — just past the 16 MB compiler default; the physical
+            # budget is larger, so raise the cap for this kernel.
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024)
+        except TypeError:  # pragma: no cover - older jax
+            compiler_params = None
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nb + pad_b, K, no, no),
                                            jnp.float32),
+            **({"compiler_params": compiler_params}
+               if compiler_params is not None else {}),
         )(xpad, *[params[k][None] for k in const_names])
         return out[:nb] if pad_b else out
 

@@ -369,11 +369,20 @@ def _compiled(L: int, H: int, W: int, precision: str = "default",
                                    lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
         )
+        try:
+            # The 16 MB scoped-VMEM compiler default is what capped the
+            # tall layout at B=2; the physical budget is larger.
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024)
+        except TypeError:  # pragma: no cover - older jax
+            compiler_params = None
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nb + pad_b, K, nq, nq),
                                            jnp.float32),
+            **({"compiler_params": compiler_params}
+               if compiler_params is not None else {}),
         )(xpad, *[params[k][None] for k in const_order])
         return out[:nb] if pad_b else out
 
