@@ -134,3 +134,18 @@ def test_fused_general_routes_j2(interpreted_pallas_general, rng):
 
     f = fused_scattering(2, 8, 32, 32)
     assert isinstance(f, FusedScatteringJ2)
+
+
+def test_extractor_routes_general_j_pallas(interpreted_pallas_general, rng):
+    """FeatureExtractor(mode='pallas') supports deep J via the general
+    fused cascade and matches the fft path."""
+    from wst_tpu.features.extractor import FeatureExtractor
+
+    x = rng.random((2, 3, 32, 32)).astype(np.float32)
+    fx = FeatureExtractor("wst", 32, 32, J=3, L=8, mode="pallas",
+                          boundary="periodic")
+    got = fx.extract_numpy(x)
+    want = FeatureExtractor("wst", 32, 32, J=3, L=8, mode="fft",
+                            boundary="periodic").extract_numpy(x)
+    assert got.shape == (2, 3 * 2 * 217) == (2, len(fx.feature_names))
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()

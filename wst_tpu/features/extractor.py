@@ -62,13 +62,10 @@ class FeatureExtractor:
                 # Fused TPU kernel: the fastest path.  J=2 routes to the
                 # tuned kernel, deeper J to the general fused cascade.
                 from wst_tpu.ops.pallas.fused_general import fused_scattering
-                # Image-pair ("tall2") layout is fastest but its stacked
-                # VMEM working set only fits on the lane-aligned periodic
-                # grid; the reflect grid (136-pad) keeps the wide layout.
-                layout = "tall2" if boundary == "periodic" else "wide"
+                # layout="auto" picks the fastest measured image-stacking
+                # per (J, boundary) — see fused_general.auto_layout.
                 self._fused = fused_scattering(J, L, H, W,
-                                               boundary=boundary,
-                                               layout=layout)
+                                               boundary=boundary)
             else:
                 self._scattering = get_scattering(J, L, H, W, 2, mode,
                                                   boundary)

@@ -236,12 +236,14 @@ def _compiled(J: int, L: int, H: int, W: int, precision: str = "default",
                                    memory_space=pltpu.VMEM),
         )
         try:
-            # Deep reflect grids (e.g. J=4's 160-pad) need ~17 MB of scoped
-            # VMEM — just past the 16 MB compiler default; the physical
-            # budget is larger, so raise the cap for this kernel.
+            # Deep grids and tall image-stacks exceed the 16 MB scoped-VMEM
+            # compiler default (J=4 reflect-wide needs ~17 MB, tall4 ~57 MB);
+            # the physical budget is larger, so raise the cap.
+            import os
+            cap_mb = int(os.environ.get("WST_PALLAS_VMEM_MB", "96"))
             compiler_params = pltpu.CompilerParams(
-                vmem_limit_bytes=32 * 1024 * 1024)
-        except TypeError:  # pragma: no cover - older jax
+                vmem_limit_bytes=cap_mb * 1024 * 1024)
+        except (TypeError, ValueError):  # pragma: no cover - older jax
             compiler_params = None
         out = pl.pallas_call(
             kernel,
@@ -313,10 +315,26 @@ class FusedScattering:
         return out.reshape(lead + out.shape[1:])
 
 
+def auto_layout(J: int, boundary: str) -> str:
+    """Fastest measured layout per configuration (v5e, 128x128, L=8).
+
+    J=2: tall2-periodic 12,080 patches/s, but on the 136-point reflect grid
+    the stacked working set loses to wide (6,178 vs 6,548).  Deeper J shifts
+    work to coarse resolutions where taller operands amortize more
+    column-side DFTs: J=4 periodic tall8 5,948 > tall4 5,412 > tall2 4,614
+    > wide 3,431; reflect tall4 3,094 > tall2 2,814 > wide 2,362.
+    """
+    if J == 2:
+        return "tall2" if boundary == "periodic" else "wide"
+    return "tall8" if boundary == "periodic" else "tall4"
+
+
 def fused_scattering(J: int, L: int, H: int, W: int,
                      precision: str = "default", boundary: str = "reflect",
-                     layout: str = "wide"):
+                     layout: str = "auto"):
     """Fused-kernel factory: tuned J=2 kernel, general kernel otherwise."""
+    if layout == "auto":
+        layout = auto_layout(J, boundary)
     if J == 2:
         from wst_tpu.ops.pallas.fused_scattering import fused_scattering_j2
         return fused_scattering_j2(L, H, W, precision, boundary, layout)
