@@ -127,6 +127,39 @@ def mutual_info_classif(X: np.ndarray, y: np.ndarray,
     return np.asarray(scores, np.float64)
 
 
+@functools.partial(jax.jit, static_argnames=("n_classes", "n_neighbors"))
+def _mi_classif_cells(Xb: jnp.ndarray, y: jnp.ndarray, n_classes: int,
+                      n_neighbors: int = 3) -> jnp.ndarray:
+    """Xb: (M, n, F); shared y: (n,) -> (M, F) MI scores, one dispatch."""
+    return jax.vmap(lambda X: _mi_classif_device(X, y, n_classes,
+                                                 n_neighbors))(Xb)
+
+
+def mutual_info_classif_batch(Xb: np.ndarray, y: np.ndarray,
+                              n_neighbors: int = 3,
+                              noise_seed: int = 0) -> np.ndarray:
+    """MI scores for M same-shape cells sharing one label vector.
+
+    Per-cell results are identical to ``mutual_info_classif`` on each slice:
+    that function draws its tie-breaking noise from a fresh fixed-seed rng
+    per call, so every equal-shape cell receives the same noise — here it is
+    drawn once and applied per cell from the same stream.
+    """
+    Xb = np.asarray(Xb, np.float64)
+    M, n, F = Xb.shape
+    _, y_enc = np.unique(np.asarray(y), return_inverse=True)
+    n_classes = int(y_enc.max()) + 1
+    Xn = np.empty_like(Xb)
+    for i in range(M):
+        means = np.maximum(1.0, np.mean(np.abs(Xb[i]), axis=0))
+        rng = np.random.default_rng(noise_seed)
+        Xn[i] = Xb[i] + 1e-10 * means * rng.standard_normal((n, F))
+    scores = _mi_classif_cells(
+        jnp.asarray(Xn, jnp.float32), jnp.asarray(y_enc, jnp.int32),
+        n_classes, n_neighbors)
+    return np.asarray(scores, np.float64)
+
+
 # ---------------------------------------------------------------------------
 # SelectKBest equivalent.
 # ---------------------------------------------------------------------------

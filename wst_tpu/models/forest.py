@@ -73,6 +73,16 @@ class ForestArrays:
                    probs=np.asarray(d["probs"], np.float32))
 
 
+def _active_cap(max_active: int, n: int, min_samples_leaf: int) -> int:
+    """Tight frontier bound: every active (splittable) node holds at least
+    ``min_samples_leaf`` distinct samples and nodes partition the samples,
+    so the frontier can never exceed n // min_samples_leaf.  Shrinking the
+    static ``max_active`` to that bound changes no result — it only shrinks
+    the (node, feature, bin, class) histogram workspace, which is what
+    limits how many cells a vmapped multi-fit can hold in HBM."""
+    return min(max_active, max(2, n // max(1, min_samples_leaf)))
+
+
 def _bin_features(X: np.ndarray, max_bins: int
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Quantile binning. Returns (binned (n,F) int32, thresholds (F, max_bins-1)
@@ -138,6 +148,7 @@ class TreeEnsembleClassifier:
 
         depth = min(self.max_depth, max(1, n // self.min_samples_leaf))
         max_nodes = 2 * min(2 ** depth, max(n, 2)) + 1
+        max_active = _active_cap(self.max_active, n, self.min_samples_leaf)
 
         fitted = _fit_forest(
             jnp.asarray(binned), jnp.asarray(thr), jnp.asarray(nthr),
@@ -145,7 +156,7 @@ class TreeEnsembleClassifier:
             n_trees=self.n_estimators, n_classes=C, max_features=mf,
             min_samples_split=self.min_samples_split,
             min_samples_leaf=self.min_samples_leaf,
-            max_depth=depth, max_active=self.max_active,
+            max_depth=depth, max_active=max_active,
             max_nodes=max_nodes, bootstrap=self.bootstrap,
             seed=self.random_state)
         self.forest_ = ForestArrays(*[np.asarray(a) for a in fitted])
@@ -180,14 +191,47 @@ class TreeEnsembleClassifier:
 # Jitted fit / predict kernels.
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_trees", "n_classes", "max_features",
-                     "min_samples_split", "min_samples_leaf", "max_depth",
-                     "max_active", "max_nodes", "bootstrap"))
+_FIT_STATICS = ("n_trees", "n_classes", "max_features",
+                "min_samples_split", "min_samples_leaf", "max_depth",
+                "max_active", "max_nodes", "bootstrap")
+
+
+@functools.partial(jax.jit, static_argnames=_FIT_STATICS)
+def _fit_forest_cells(binned, thr, nthr, y, *, n_trees, n_classes,
+                      max_features, min_samples_split, min_samples_leaf,
+                      max_depth, max_active, max_nodes, bootstrap, seed):
+    """Fit M independent same-shape forests in ONE device dispatch.
+
+    binned: (M, n, F) int32; thr: (M, F, B-1); nthr: (M, F); y: (M, n).
+    Returns per-cell node tables with a leading M axis — each cell's fit is
+    numerically identical to a solo ``_fit_forest`` call (vmap of the same
+    deterministic program with the same per-tree keys).  This is what makes
+    the 1,512-cell factorial grid dispatch-count-bound rather than
+    tunnel-latency-bound.
+    """
+    def one(b, t, nt, yy):
+        return _fit_forest_impl(
+            b, t, nt, yy, seed, n_trees=n_trees, n_classes=n_classes,
+            max_features=max_features, min_samples_split=min_samples_split,
+            min_samples_leaf=min_samples_leaf, max_depth=max_depth,
+            max_active=max_active, max_nodes=max_nodes, bootstrap=bootstrap)
+    return jax.vmap(one)(binned, thr, nthr, y)
+
+
+@functools.partial(jax.jit, static_argnames=_FIT_STATICS)
 def _fit_forest(binned, thr, nthr, y, *, n_trees, n_classes, max_features,
                 min_samples_split, min_samples_leaf, max_depth, max_active,
                 max_nodes, bootstrap, seed):
+    return _fit_forest_impl(
+        binned, thr, nthr, y, seed, n_trees=n_trees, n_classes=n_classes,
+        max_features=max_features, min_samples_split=min_samples_split,
+        min_samples_leaf=min_samples_leaf, max_depth=max_depth,
+        max_active=max_active, max_nodes=max_nodes, bootstrap=bootstrap)
+
+
+def _fit_forest_impl(binned, thr, nthr, y, seed, *, n_trees, n_classes,
+                     max_features, min_samples_split, min_samples_leaf,
+                     max_depth, max_active, max_nodes, bootstrap):
     n, F = binned.shape
     B = thr.shape[1] + 1                       # bins per feature
     onehot = jax.nn.one_hot(y, n_classes, dtype=jnp.float32)   # (n, C)
@@ -369,3 +413,156 @@ def _predict_forest(X, feature, threshold, left, right, is_leaf, probs,
     all_probs = jax.vmap(one_tree)(feature, threshold, left, right,
                                    is_leaf, probs)  # (T, m, C)
     return jnp.mean(all_probs, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Multi-cell batched fit/predict: the factorial grid runs hundreds of tiny
+# same-shape fits (conditions x methods x CV folds); fitting them in one
+# vmapped dispatch removes the per-call host->device latency that dominates
+# the grid's wall time on remote-PJRT links.
+# ---------------------------------------------------------------------------
+
+def fit_tree_ensembles(Xs, ys, n_estimators: int = 50,
+                       max_features: str = "sqrt",
+                       min_samples_split: int = 5, min_samples_leaf: int = 2,
+                       max_depth: int = 24, max_bins: int = 256,
+                       max_active: int = 128, bootstrap: bool = True,
+                       random_state: int = 42):
+    """Fit M same-shape cells in one device call.
+
+    Xs: sequence of (n, F) float matrices (equal shapes); ys: sequence of
+    (n,) label arrays.  Returns a list of fitted ``TreeEnsembleClassifier``
+    objects identical to fitting each (X, y) separately with the same
+    hyperparameters.  Cells whose label sets differ in size fall back to
+    per-cell fits (class-count is a static shape).
+    """
+    M = len(Xs)
+    assert M == len(ys) and M > 0
+    shapes = {np.asarray(X).shape for X in Xs}
+    classes = [np.unique(np.asarray(y)) for y in ys]
+    same_c = len({len(c) for c in classes}) == 1
+
+    def solo(i):
+        m = TreeEnsembleClassifier(
+            n_estimators=n_estimators, max_features=max_features,
+            min_samples_split=min_samples_split,
+            min_samples_leaf=min_samples_leaf, max_depth=max_depth,
+            max_bins=max_bins, max_active=max_active, bootstrap=bootstrap,
+            random_state=random_state)
+        return m.fit(Xs[i], ys[i])
+
+    if len(shapes) != 1 or not same_c:
+        return [solo(i) for i in range(M)]
+
+    n, F = next(iter(shapes))
+    C = len(classes[0])
+    if max_features == "sqrt":
+        mf = max(1, int(math.sqrt(F)))
+    elif max_features in (None, "all"):
+        mf = F
+    else:
+        mf = max(1, int(max_features))
+    max_bins_eff = min(max_bins, max(2, n + 1))
+    depth = min(max_depth, max(1, n // min_samples_leaf))
+    max_nodes = 2 * min(2 ** depth, max(n, 2)) + 1
+    active_cap = _active_cap(max_active, n, min_samples_leaf)
+
+    binned = np.zeros((M, n, F), np.int32)
+    thr = np.zeros((M, F, max_bins_eff - 1), np.float32)
+    nthr = np.zeros((M, F), np.int32)
+    y_enc = np.zeros((M, n), np.int32)
+    for i in range(M):
+        X = np.asarray(Xs[i], np.float32)
+        _, y_enc[i] = np.unique(np.asarray(ys[i]), return_inverse=True)
+        binned[i], thr[i], nthr[i] = _bin_features(X, max_bins_eff)
+
+    # The split search materializes an (M, trees, active, F, bins, C+1)
+    # histogram plus a few same-size cumsum pyramids; chunk M so the
+    # workspace stays well inside HBM (one compile, several dispatches —
+    # still orders of magnitude fewer than per-cell fitting).
+    bytes_per_cell = (n_estimators * active_cap * F * max_bins_eff
+                      * (C + 1) * 4) * 6
+    chunk = int(max(1, min(M, (3 << 30) // max(1, bytes_per_cell))))
+
+    parts = []
+    for lo in range(0, M, chunk):
+        hi = min(M, lo + chunk)
+        pad = chunk - (hi - lo)
+        sl = slice(lo, hi)
+
+        def padded(a):
+            return (a[sl] if pad == 0
+                    else np.concatenate([a[sl], a[lo:lo + pad]], axis=0))
+
+        fitted = _fit_forest_cells(
+            jnp.asarray(padded(binned)), jnp.asarray(padded(thr)),
+            jnp.asarray(padded(nthr)), jnp.asarray(padded(y_enc)),
+            n_trees=n_estimators, n_classes=C, max_features=mf,
+            min_samples_split=min_samples_split,
+            min_samples_leaf=min_samples_leaf, max_depth=depth,
+            max_active=active_cap, max_nodes=max_nodes,
+            bootstrap=bootstrap, seed=random_state)
+        parts.append([np.asarray(a)[:hi - lo] for a in fitted])
+    fitted = [np.concatenate([p[j] for p in parts], axis=0)
+              for j in range(len(parts[0]))]           # each (M, T, ...)
+
+    models = []
+    for i in range(M):
+        m = TreeEnsembleClassifier(
+            n_estimators=n_estimators, max_features=max_features,
+            min_samples_split=min_samples_split,
+            min_samples_leaf=min_samples_leaf, max_depth=max_depth,
+            max_bins=max_bins, max_active=max_active, bootstrap=bootstrap,
+            random_state=random_state)
+        m.classes_ = classes[i]
+        m.forest_ = ForestArrays(*[a[i] for a in fitted])
+        m.max_depth_used_ = depth
+        models.append(m)
+    return models
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def _predict_forest_cells(X, feature, threshold, left, right, is_leaf,
+                          probs, max_depth):
+    """X: (M, m, F) -> (M, m, C); node tables carry a leading M axis."""
+    def one(x, fe, th, lf, rg, le, pr):
+        return _predict_forest(x, fe, th, lf, rg, le, pr,
+                               max_depth=max_depth)
+    return jax.vmap(one)(X, feature, threshold, left, right, is_leaf, probs)
+
+
+def predict_proba_tree_ensembles(models, Xs):
+    """Batched ``predict_proba`` over M fitted same-shape cells.
+
+    models: list of fitted TreeEnsembleClassifier (same node-table shapes
+    and depth); Xs: sequence of (m, F) matrices (equal shapes).  Returns a
+    list of (m, C) probability arrays, one dispatch for all cells; falls
+    back to per-cell predicts when shapes differ.
+    """
+    M = len(models)
+    shapes = {np.asarray(X).shape for X in Xs}
+    tbl_shapes = {m.forest_.feature.shape for m in models}
+    depths = {m.max_depth_used_ for m in models}
+    ncls = {len(m.classes_) for m in models}
+    if len(shapes) != 1 or len(tbl_shapes) != 1 or len(depths) != 1 \
+            or len(ncls) != 1:
+        return [m.predict_proba(X) for m, X in zip(models, Xs)]
+    X = np.stack([np.asarray(x, np.float32) for x in Xs])
+    f = [m.forest_ for m in models]
+    out = _predict_forest_cells(
+        jnp.asarray(X),
+        jnp.asarray(np.stack([g.feature for g in f])),
+        jnp.asarray(np.stack([g.threshold for g in f])),
+        jnp.asarray(np.stack([g.left for g in f])),
+        jnp.asarray(np.stack([g.right for g in f])),
+        jnp.asarray(np.stack([g.is_leaf for g in f])),
+        jnp.asarray(np.stack([g.probs for g in f])),
+        max_depth=next(iter(depths)))
+    return list(np.asarray(out))
+
+
+def predict_tree_ensembles(models, Xs):
+    """Batched ``predict``: list of (m,) label arrays (one dispatch)."""
+    probas = predict_proba_tree_ensembles(models, Xs)
+    return [m.classes_[np.argmax(p, axis=1)]
+            for m, p in zip(models, probas)]

@@ -48,10 +48,19 @@ def run_matrix_suite(images: np.ndarray, labels: np.ndarray,
                      families: Optional[Sequence[str]] = None,
                      J: int = 2, L: int = 8, seed: int = 42,
                      mode: Optional[str] = None,
+                     cell_batching: bool = True,
                      verbose: bool = True) -> List[dict]:
     """images: (B, 3, H, W) float32 in [0,1]; one area/size slice.
 
     Returns the report dicts of every (condition, method, k) cell.
+
+    ``cell_batching=True`` (default) runs the classifier stage batched: MI
+    scoring is computed once per (condition, method) — it is k-independent —
+    vmapped over all conditions in one dispatch per method, and every
+    (condition, method, fold) forest fit of one k-width runs in a single
+    vmapped dispatch.  Cell results are identical to the per-cell path
+    (``cell_batching=False``); only the dispatch count changes (hundreds of
+    tiny tunnel round-trips become a handful).
     """
     H, W = images.shape[-2:]
     u8 = np.clip(images * 255.0, 0, 255).astype(np.uint8).transpose(
@@ -65,6 +74,11 @@ def run_matrix_suite(images: np.ndarray, labels: np.ndarray,
                          if c in keep}
 
     all_names = get_feature_names("hybrid", J, L)
+    if cell_batching:
+        return _run_cells_batched(per_condition, labels, out_root,
+                                  area_name, dataset_type, dataset_path,
+                                  methods, ks, J, L, H, W, all_names,
+                                  verbose)
     reports = []
     for condition, hybrid_X in per_condition.items():
         cond_dir = "rgb_clean" if condition == "clean" else condition
@@ -127,6 +141,109 @@ def run_matrix_suite(images: np.ndarray, labels: np.ndarray,
                 if verbose:
                     print(f"[{condition}/{method}/k{k}] "
                           f"cv={perf['cv_mean_accuracy']:.3f}")
+    return reports
+
+
+def _run_cells_batched(per_condition, labels, out_root, area_name,
+                       dataset_type, dataset_path, methods, ks, J, L, H, W,
+                       all_names, verbose) -> List[dict]:
+    """Dispatch-batched classifier stage (see ``run_matrix_suite``)."""
+    from wst_tpu.features.selection import (SelectionModel,
+                                            fit_standard_scaler,
+                                            mutual_info_classif_batch,
+                                            top_k_indices)
+    from wst_tpu.train.trainer import train_final_models_batch
+
+    t_start = time.time()
+    conditions = list(per_condition)
+    counts = Counter(labels.tolist())
+
+    # MI scores are k-independent: one vmapped dispatch per method scores
+    # every condition at once (the per-cell path recomputed them 4x).
+    sel_cache = {}                        # (condition, method) -> state
+    for method in methods:
+        lo, hi = METHOD_SLICES[method]
+        scalers, scaled = [], []
+        for c in conditions:
+            scaler, Xs_std = fit_standard_scaler(per_condition[c][:, lo:hi])
+            scalers.append(scaler)
+            scaled.append(Xs_std)
+        scores_b = mutual_info_classif_batch(np.stack(scaled), labels)
+        for c, scaler, Xs_std, s in zip(conditions, scalers, scaled,
+                                        scores_b):
+            sel_cache[(c, method)] = (scaler, Xs_std, s)
+
+    cells = [(c, m, k) for c in conditions for m in methods for k in ks]
+    selections, X_sels, cfgs = {}, {}, {}
+    for c, method, k in cells:
+        lo, hi = METHOD_SLICES[method]
+        scaler, Xs_std, s = sel_cache[(c, method)]
+        idx = top_k_indices(s, k)
+        selections[(c, method, k)] = SelectionModel(
+            scaler=scaler, scores=s, selected_indices=idx,
+            feature_names=list(all_names[lo:hi]))
+        X_sels[(c, method, k)] = Xs_std[:, idx]
+        cond_dir = "rgb_clean" if c == "clean" else c
+        cfgs[(c, method, k)] = ExperimentConfig(
+            dataset_path=(dataset_path
+                          or os.path.join(f"<device:{c}>", dataset_type)),
+            area_name=area_name, feature_method=method, k_features=k,
+            output_dir=os.path.join(out_root, cond_dir, area_name,
+                                    dataset_type, f"k{k}", method),
+            J=J, L=L)
+
+    # All (condition, method) cells of one k share the fit shapes: every
+    # (final + fold) forest of the k-group runs in one vmapped dispatch.
+    results = {}
+    for k in ks:
+        group = [(c, m, k) for c in conditions for m in methods]
+        batch = train_final_models_batch(
+            [X_sels[cell] for cell in group], labels, cfgs[group[0]])
+        results.update(dict(zip(group, batch)))
+
+    wall = round((time.time() - t_start) / max(1, len(cells)), 3)
+    reports = []
+    for cell in cells:
+        c, method, k = cell
+        cfg = cfgs[cell]
+        selection = selections[cell]
+        model, perf = results[cell]
+        report = {
+            "experiment_name": f"{method}_{area_name}_k{k}_WithModel",
+            "config": cfg.to_report_dict(),
+            "dataset_info": {
+                "data_directory": cfg.dataset_path,
+                "area_name": area_name,
+                "total_images": int(len(labels)),
+                "classes": {cl: int(n) for cl, n in sorted(counts.items())},
+                "image_shape": [3, int(H), int(W)],
+                "total_features_available": len(selection.feature_names),
+                "feature_method": method,
+                "dataset_type": dataset_type,
+                "k_features": k,
+                "noise_condition": c,
+            },
+            "feature_selection": {
+                "method": f"SelectKBest_k{k}",
+                "num_features": len(selection.selected_features),
+                "selected_features": selection.selected_features,
+                "feature_scores": selection.selected_scores.tolist(),
+            },
+            "performance": perf,
+            "model_files": {
+                "trained_model": "trained_model.npz",
+                "scaler": "selection_model.json",
+                "feature_selector": "selection_model.json",
+                "feature_names": "feature_names.json",
+            },
+            "timestamp": datetime.datetime.now().isoformat(),
+            "wall_time_sec": wall,
+        }
+        save_artifacts(cfg.output_dir, model, selection, report)
+        reports.append(report)
+        if verbose:
+            print(f"[{c}/{method}/k{k}] "
+                  f"cv={perf['cv_mean_accuracy']:.3f}")
     return reports
 
 

@@ -90,6 +90,86 @@ def train_final_model(X: np.ndarray, y: np.ndarray,
     return model, performance
 
 
+def train_final_models_batch(Xs, y: np.ndarray, config: ExperimentConfig):
+    """``train_final_model`` for M cells sharing one label vector — all
+    (1 + cv_folds) * M forest fits in a handful of vmapped device dispatches
+    (grouped by shape), then all evaluations likewise.
+
+    Per-cell results are identical to calling ``train_final_model`` on each
+    X: the split/fold indices depend only on (y, seed) and the batched fit
+    is a vmap of the same deterministic per-cell program.  Returns a list of
+    (model, performance) pairs.
+    """
+    from wst_tpu.models.forest import (fit_tree_ensembles,
+                                       predict_tree_ensembles)
+
+    n_estimators = config.resolve_n_estimators()
+    tr, te = stratified_train_test_split(y, config.test_size,
+                                         config.random_state)
+    folds = list(stratified_kfold_indices(y, config.cv_folds,
+                                          config.random_state))
+    M = len(Xs)
+    Xs = [np.asarray(X, np.float32) for X in Xs]
+
+    # One flat job list: job (i, -1) = cell i's final fit on the train
+    # split; job (i, j>=0) = cell i's CV fold j.
+    jobs = [(i, j) for i in range(M) for j in range(-1, len(folds))]
+    fit_X, fit_y, eval_X, eval_y = [], [], [], []
+    for i, j in jobs:
+        fit_idx, eval_idx = (tr, te) if j < 0 else folds[j]
+        fit_X.append(Xs[i][fit_idx])
+        fit_y.append(y[fit_idx])
+        eval_X.append(Xs[i][eval_idx])
+        eval_y.append(y[eval_idx])
+
+    # Batched fits, grouped by training-set shape (for the reference's
+    # grid sizes every job shares one shape: 0.8n == (folds-1)/folds * n).
+    models = [None] * len(jobs)
+    fit_groups = {}
+    for idx, X in enumerate(fit_X):
+        fit_groups.setdefault(X.shape, []).append(idx)
+    for idxs in fit_groups.values():
+        fitted = fit_tree_ensembles([fit_X[i] for i in idxs],
+                                    [fit_y[i] for i in idxs],
+                                    n_estimators=n_estimators,
+                                    random_state=config.random_state)
+        for i, m in zip(idxs, fitted):
+            models[i] = m
+
+    # Batched evaluation predictions, grouped by eval-set shape.
+    preds = [None] * len(jobs)
+    pred_groups = {}
+    for idx, X in enumerate(eval_X):
+        pred_groups.setdefault(X.shape, []).append(idx)
+    for idxs in pred_groups.values():
+        outs = predict_tree_ensembles([models[i] for i in idxs],
+                                      [eval_X[i] for i in idxs])
+        for i, p in zip(idxs, outs):
+            preds[i] = p
+
+    labels = sorted(np.unique(y).tolist())
+    results = []
+    per_cell = len(folds) + 1
+    for i in range(M):
+        base = i * per_cell
+        y_pred = preds[base]                       # final fit, test split
+        cv_scores = np.asarray([
+            float(np.mean(preds[base + 1 + j] == eval_y[base + 1 + j]))
+            for j in range(len(folds))])
+        performance = {
+            "test_accuracy": accuracy_score(y[te], y_pred),
+            "cv_mean_accuracy": float(np.mean(cv_scores)),
+            "cv_std_accuracy": float(np.std(cv_scores)),
+            "cv_scores": cv_scores.tolist(),
+            "classification_report": classification_report(y[te], y_pred,
+                                                           labels=labels),
+            "confusion_matrix": confusion_matrix(y[te], y_pred,
+                                                 labels=labels).tolist(),
+        }
+        results.append((models[base], performance))
+    return results
+
+
 def run_experiment(config: ExperimentConfig,
                    images: Optional[np.ndarray] = None,
                    labels: Optional[np.ndarray] = None,
