@@ -102,3 +102,79 @@ def test_missing_dataset_registry(trained_cell, tmp_path):
     inf.report["config"]["dataset_path"] = "/nonexistent"
     with pytest.raises(ValueError):
         inf.get_dataset_path("weird_type")
+
+
+# ---------------------------------------------------------------------------
+# Serving the reference corpus's joblib artifacts directly
+# (reference: src/inference/inference.py:126-161, 272-287)
+# ---------------------------------------------------------------------------
+
+REF_CLEAN = "/root/reference/experiments/rgb_clean"
+needs_corpus = pytest.mark.skipif(not os.path.isdir(REF_CLEAN),
+                                  reason="reference corpus not mounted")
+
+
+def _synthetic_rgb(n, hw=128, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.random((n, 3, hw, hw), dtype=np.float32)
+
+
+@needs_corpus
+def test_serve_corpus_advanced_stats_model():
+    d = os.path.join(REF_CLEAN, "popolar/small/k10/advanced_stats")
+    inf = ModelInference(d)
+    assert inf.feature_method == "advanced_stats"
+    # (this particular corpus cell was trained with a 'water' class)
+    assert list(inf.classes_) == ["low_veg", "trees", "water"]
+    # selected features agree with the cell's own feature_names.json
+    with open(os.path.join(d, "feature_names.json")) as f:
+        names = json.load(f)
+    assert inf.selection.selected_features == names["selected_features"]
+    df = inf.predict_images(_synthetic_rgb(4))
+    assert len(df) == 4
+    prob_cols = [c for c in df.columns if c.startswith("prob_")]
+    np.testing.assert_allclose(df[prob_cols].sum(axis=1), 1.0, atol=1e-6)
+
+
+@needs_corpus
+def test_serve_corpus_hybrid_model_with_wst():
+    d = os.path.join(REF_CLEAN, "sunset/small/k20/hybrid")
+    inf = ModelInference(d)
+    assert inf.selection.n_features_in == 540
+    df = inf.predict_images(_synthetic_rgb(2))
+    assert len(df) == 2
+    assert set(df["predicted_label"]) <= {"garden", "low_veg", "trees"}
+
+
+@needs_corpus
+def test_serve_corpus_wst_model_fixed_vs_quirk():
+    """Default mode serves the 486-feature wst models the reference's own
+    inference script cannot (it builds 492 features and crashes on
+    scaler.transform); quirk mode reproduces that crash faithfully."""
+    d = os.path.join(REF_CLEAN, "popolar/mini/k5/wst")
+    inf = ModelInference(d)
+    assert inf.selection.n_features_in == 486
+    df = inf.predict_images(_synthetic_rgb(2))
+    assert len(df) == 2  # fixed behavior: serves fine
+
+    quirky = ModelInference(d, reference_inference_quirk=True)
+    with pytest.raises(ValueError):
+        quirky.predict_images(_synthetic_rgb(2))
+
+
+@needs_corpus
+def test_corpus_hybrid_quirk_permutes_wst_block():
+    """With the quirk on, hybrid features are reordered exactly as the
+    reference inference script builds them (interleaved mean/std) — same
+    count, silently different vectors (the reference's latent defect)."""
+    d = os.path.join(REF_CLEAN, "sunset/small/k20/hybrid")
+    inf = ModelInference(d)
+    imgs = _synthetic_rgb(3, seed=1)
+    X = np.tile(np.arange(540, dtype=np.float64), (3, 1))
+    Xq = inf._apply_reference_quirk(X.copy(), imgs)
+    assert Xq.shape == X.shape
+    # advanced block untouched, wst block permuted per channel
+    np.testing.assert_array_equal(Xq[:, :54], X[:, :54])
+    assert Xq[0, 54] == X[0, 54]          # mean_0 stays first
+    assert Xq[0, 55] == X[0, 54 + 81]     # std_0 moves next to it
+    assert sorted(Xq[0]) == sorted(X[0])  # a pure permutation

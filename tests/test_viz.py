@@ -49,3 +49,16 @@ def test_compare_wst_coefficients(tmp_path, rng):
     assert res["order1"]["noisy_mean"] != res["order1"]["clean_mean"]
     import os
     assert os.path.getsize(res["figure"]) > 1000
+
+
+def test_scattering_disk_figure(tmp_path):
+    """C20 polar scattering-disk rendering (reference:
+    src/visualization/compare_wst_coefficients.py:41-77)."""
+    from wst_tpu.viz.visualize import compare_wst_disks
+    rng = np.random.default_rng(0)
+    clean = rng.random((32, 32)).astype(np.float32)
+    noisy = np.clip(clean + rng.normal(0, 0.2, (32, 32)), 0, 1).astype(np.float32)
+    path = compare_wst_disks(clean, noisy, tmp_path, J=3, L=6, name="t")
+    import os
+    assert os.path.exists(path)
+    assert os.path.getsize(path) > 50_000  # a real multi-panel figure

@@ -134,20 +134,111 @@ def _mi_classif_device(X: jnp.ndarray, y: jnp.ndarray, n_classes: int,
     return jnp.maximum(mi, 0.0)
 
 
+# Below this sample count, MI runs as an exact host (numpy float64)
+# replication of sklearn's estimator — including its numerical quirks, see
+# ``_mi_classif_sklearn_exact``.  Above it, the chunked device kernel is
+# used (the quirks are statistically irrelevant at scale, and the device
+# path is what shards over the mesh).
+_MI_EXACT_MAX_N = 512
+
+
+def _mi_classif_sklearn_exact(X: np.ndarray, y_enc: np.ndarray,
+                              n_neighbors: int = 3,
+                              noise_seed: int = 0) -> np.ndarray:
+    """Bit-faithful host replication of sklearn's ``mutual_info_classif``.
+
+    Replicates ``sklearn.feature_selection._mutual_info`` (verified against
+    the installed 1.9 source) for a dense continuous X and discrete y:
+
+    * float64 upcast, per-column ``scale(with_mean=False)``, then the
+      1e-10 * max(1, mean|x|) * N(0,1) tie-breaking noise from
+      ``RandomState(noise_seed)`` — the exact stream sklearn draws for
+      ``random_state=noise_seed`` (sklearn's default is UNSEEDED, making the
+      reference's selection non-reproducible run to run; we fix the seed).
+    * Per class subset: the k-th same-class neighbour distance.  sklearn's
+      ``NearestNeighbors(algorithm='auto')`` picks BRUTE when
+      ``k >= count // 2`` (tiny subsets, e.g. the mini datasets' 5/class),
+      whose GEMM-expanded distances (x^2 - 2xy + y^2, float64) suffer
+      catastrophic cancellation that annihilates the 1e-10 noise — so
+      duplicate-heavy features get radius ~0 while the subsequent
+      ``KDTree.query_radius`` m-count uses EXACT |xi-xj| distances, yielding
+      m=1 and a large MI.  We reproduce both distance computations so
+      selection on duplicate-heavy (e.g. class-constant) features matches
+      sklearn's ranking exactly.
+    * mi = dg(n) + E[dg(k)] - E[dg(count)] - E[dg(m)], clipped at 0,
+      averaged over samples whose class has >1 member.
+    """
+    from scipy.special import digamma
+
+    X = np.asarray(X, np.float64)
+    n, F = X.shape
+    std = X.std(axis=0)
+    X = X / np.where(std == 0.0, 1.0, std)
+    rng = np.random.RandomState(noise_seed)
+    means = np.maximum(1.0, np.mean(np.abs(X), axis=0))
+    X = X + 1e-10 * means * rng.standard_normal(X.shape)
+
+    radius = np.zeros((n, F))
+    k_all = np.zeros(n)
+    label_counts = np.zeros(n)
+    for label in np.unique(y_enc):
+        mask = y_enc == label
+        count = int(mask.sum())
+        label_counts[mask] = count
+        if count <= 1:
+            continue
+        k = min(n_neighbors, count - 1)
+        k_all[mask] = k
+        sub = X[mask]                                  # (c, F)
+        if k >= count // 2:
+            # brute: quadratic expansion like sklearn's GEMM kernel
+            sq = sub * sub                             # (c, F)
+            d2 = sq[:, None, :] - 2.0 * np.einsum("if,jf->ijf", sub, sub) \
+                + sq[None, :, :]
+            d = np.sqrt(np.maximum(d2, 0.0))           # (c, c, F)
+        else:
+            d = np.abs(sub[:, None, :] - sub[None, :, :])
+        idx = np.arange(count)
+        d[idx, idx, :] = np.inf                        # exclude self
+        d.sort(axis=1)
+        radius[mask] = np.nextafter(d[:, k - 1, :], 0)
+
+    valid = label_counts > 1
+    n_eff = int(valid.sum())
+    Xv, rv = X[valid], radius[valid]
+    # m-count with EXACT distances (KDTree semantics), self included.
+    m = np.zeros((n_eff, F))
+    for j0 in range(0, F, 64):                         # bound the workspace
+        sl = slice(j0, min(j0 + 64, F))
+        D = np.abs(Xv[:, None, sl] - Xv[None, :, sl])  # (n_eff, n_eff, f)
+        m[:, sl] = (D <= rv[:, None, sl]).sum(axis=1)
+
+    mi = (digamma(n_eff) + digamma(k_all[valid]).mean()
+          - digamma(label_counts[valid]).mean()
+          - digamma(m).mean(axis=0))
+    return np.maximum(mi, 0.0)
+
+
 def mutual_info_classif(X: np.ndarray, y: np.ndarray,
                         n_neighbors: int = 3,
                         noise_seed: int = 0) -> np.ndarray:
     """MI between each column of X and discrete labels y.
 
-    Adds the same 1e-10-scale tie-breaking noise sklearn does, but from a
-    fixed key (deterministic).  Inputs are standardized columns; y may be
-    any label array (strings ok).
+    Matches sklearn's ``mutual_info_classif(random_state=noise_seed)``:
+    bit-faithful host replication for n <= 512 (every science dataset), the
+    chunked device Kraskov kernel beyond (full-scene patch counts, where
+    sklearn's small-subset numerical quirks cannot trigger).  sklearn's
+    default is an unseeded RNG (the reference's selection is therefore not
+    run-to-run deterministic); we draw the identical noise from a fixed
+    seed so selection is reproducible.
     """
     X = np.asarray(X, np.float64)
     _, y_enc = np.unique(np.asarray(y), return_inverse=True)
+    if X.shape[0] <= _MI_EXACT_MAX_N:
+        return _mi_classif_sklearn_exact(X, y_enc, n_neighbors, noise_seed)
     n_classes = int(y_enc.max()) + 1
     means = np.maximum(1.0, np.mean(np.abs(X), axis=0))
-    rng = np.random.default_rng(noise_seed)
+    rng = np.random.RandomState(noise_seed)
     Xn = X + 1e-10 * means * rng.standard_normal(X.shape)
     scores = _mi_classif_device(
         jnp.asarray(Xn, jnp.float32), jnp.asarray(y_enc, jnp.int32),
@@ -176,11 +267,15 @@ def mutual_info_classif_batch(Xb: np.ndarray, y: np.ndarray,
     Xb = np.asarray(Xb, np.float64)
     M, n, F = Xb.shape
     _, y_enc = np.unique(np.asarray(y), return_inverse=True)
+    if n <= _MI_EXACT_MAX_N:
+        return np.stack([
+            _mi_classif_sklearn_exact(Xb[i], y_enc, n_neighbors, noise_seed)
+            for i in range(M)])
     n_classes = int(y_enc.max()) + 1
     Xn = np.empty_like(Xb)
     for i in range(M):
         means = np.maximum(1.0, np.mean(np.abs(Xb[i]), axis=0))
-        rng = np.random.default_rng(noise_seed)
+        rng = np.random.RandomState(noise_seed)
         Xn[i] = Xb[i] + 1e-10 * means * rng.standard_normal((n, F))
     scores = _mi_classif_cells(
         jnp.asarray(Xn, jnp.float32), jnp.asarray(y_enc, jnp.int32),

@@ -37,7 +37,7 @@ from wst_tpu.data.dataset import load_area_images_and_labels
 from wst_tpu.features.extractor import FeatureExtractor
 from wst_tpu.train.metrics import (accuracy_score, classification_report,
                                    confusion_matrix, per_class_accuracy)
-from wst_tpu.utils.artifacts import REPORT_NAME, load_artifacts
+from wst_tpu.utils.artifacts import REPORT_NAME, load_any_artifacts
 
 AREAS = ("assatigue", "popolar", "sunset")
 METHODS = ("advanced_stats", "wst", "hybrid")
@@ -95,9 +95,25 @@ class ModelInference:
 
     def __init__(self, model_dir: str,
                  dataset_registry: Optional[Dict[str, str]] = None,
-                 batch_size: int = 64):
+                 batch_size: int = 64, artifact_format: str = "auto",
+                 reference_inference_quirk: bool = False):
+        """``artifact_format``: "auto" serves both this framework's NPZ/JSON
+        bundles and the reference corpus's joblib trio (so any of the 1,516
+        checked-in model dirs is directly servable); "wst_tpu"/"joblib"
+        force one.
+
+        ``reference_inference_quirk``: byte-faithful reproduction of the
+        reference *inference* script's feature construction (reference:
+        src/inference/inference.py:237-287), which deviates from its own
+        training script: the per-channel WST block is interleaved
+        (mean_0, std_0, mean_1, ...) instead of training's
+        (means..., stds...), and the ``wst`` method prepends 6 basic
+        features (492 total) — which makes scaler.transform raise on any
+        486-feature wst model, exactly as the reference does.  Default
+        False = training-faithful features (the fixed behavior)."""
         self.model_dir = model_dir
         self.batch_size = batch_size
+        self.reference_inference_quirk = reference_inference_quirk
         self.dataset_registry = _load_dataset_registry(dataset_registry)
 
         report_path = os.path.join(model_dir, REPORT_NAME)
@@ -120,7 +136,8 @@ class ModelInference:
             raise ValueError(
                 f"Could not detect area from {model_dir!r}; expected one of "
                 f"{AREAS} in the path or a {REPORT_NAME} with config.")
-        self.model, self.selection = load_artifacts(model_dir)
+        self.model, self.selection = load_any_artifacts(model_dir,
+                                                        artifact_format)
         self._extractors: Dict[Tuple[int, int], FeatureExtractor] = {}
 
     # ------------------------------------------------------------------ api
@@ -135,6 +152,28 @@ class ModelInference:
                 self.feature_method, H, W, self.J, self.L)
         return self._extractors[(H, W)]
 
+    def _apply_reference_quirk(self, X: np.ndarray,
+                               images: np.ndarray) -> np.ndarray:
+        """Rebuild feature vectors the way the reference's *inference* script
+        does (reference: src/inference/inference.py:237-287): WST block
+        interleaved per coefficient, and for ``wst`` 6 basic features
+        prepended (dooming 486-feature models, faithfully)."""
+        if self.feature_method == "advanced_stats":
+            return X
+        n_adv = 54 if self.feature_method == "hybrid" else 0
+        wst = X[:, n_adv:]
+        nc = wst.shape[1] // 6            # coefficients per channel
+        perm = np.empty(2 * nc, np.int64)
+        perm[0::2] = np.arange(nc)        # mean_i
+        perm[1::2] = nc + np.arange(nc)   # std_i
+        wst_il = wst.reshape(len(X), 3, 2 * nc)[:, :, perm].reshape(len(X), -1)
+        if self.feature_method == "hybrid":
+            return np.concatenate([X[:, :n_adv], wst_il], axis=1)
+        basic = np.stack([images.mean(axis=(-2, -1)),
+                          images.std(axis=(-2, -1))],
+                         axis=-1).reshape(len(X), -1)  # R_mean,R_std,G_...
+        return np.concatenate([basic, wst_il], axis=1)
+
     def predict_images(self, images: np.ndarray) -> pd.DataFrame:
         """images: (N, 3, H, W) float32 -> DataFrame with predictions."""
         H, W = images.shape[-2:]
@@ -142,7 +181,10 @@ class ModelInference:
         feats = []
         for i in range(0, len(images), self.batch_size):
             feats.append(fx.extract_numpy(images[i:i + self.batch_size]))
-        X = self.selection.transform(np.concatenate(feats, axis=0))
+        X_raw = np.concatenate(feats, axis=0)
+        if self.reference_inference_quirk:
+            X_raw = self._apply_reference_quirk(X_raw, np.asarray(images))
+        X = self.selection.transform(X_raw)
         proba = self.model.predict_proba(X)
         pred = self.classes_[np.argmax(proba, axis=1)]
         df = pd.DataFrame({

@@ -114,3 +114,122 @@ def load_artifacts(model_dir) -> Tuple[TreeEnsembleClassifier,
 def load_report(model_dir) -> dict:
     with open(os.path.join(model_dir, REPORT_NAME)) as fp:
         return json.load(fp)
+
+
+# ---------------------------------------------------------------------------
+# Reference joblib bundle loader: serve any of the corpus's 1,516 saved
+# sklearn models directly (reference: src/inference/inference.py:126-161
+# loads trained_model.joblib + scaler.joblib + feature_selector.joblib).
+# ---------------------------------------------------------------------------
+
+JOBLIB_MODEL_NAME = "trained_model.joblib"
+JOBLIB_SCALER_NAME = "scaler.joblib"
+JOBLIB_SELECTOR_NAME = "feature_selector.joblib"
+
+
+class SklearnModelAdapter:
+    """Duck-types TreeEnsembleClassifier's predict surface over a loaded
+    sklearn RandomForestClassifier."""
+
+    def __init__(self, rf):
+        self._rf = rf
+        self.classes_ = np.asarray(rf.classes_)
+        self.n_estimators = int(rf.n_estimators)
+
+    def predict(self, X):
+        return self._rf.predict(np.asarray(X))
+
+    def predict_proba(self, X):
+        return self._rf.predict_proba(np.asarray(X))
+
+    def score(self, X, y):
+        return float((self.predict(X) == np.asarray(y)).mean())
+
+
+class SklearnSelectionAdapter:
+    """Duck-types SelectionModel's transform surface over a loaded sklearn
+    StandardScaler + SelectKBest pair."""
+
+    def __init__(self, scaler, selector, feature_names):
+        self._scaler = scaler
+        self._selector = selector
+        self.feature_names = list(feature_names)
+        self.selected_indices = np.asarray(
+            selector.get_support(indices=True), np.int64)
+        self.scores = np.asarray(selector.scores_, np.float64)
+
+    @property
+    def selected_features(self):
+        if self.feature_names:
+            return [self.feature_names[i] for i in self.selected_indices]
+        return [f"f{i}" for i in self.selected_indices]
+
+    @property
+    def selected_scores(self):
+        return self.scores[self.selected_indices]
+
+    @property
+    def n_features_in(self) -> int:
+        return int(np.asarray(self._scaler.mean_).shape[0])
+
+    def transform(self, X):
+        return self._selector.transform(self._scaler.transform(
+            np.asarray(X)))
+
+
+def has_joblib_artifacts(model_dir) -> bool:
+    return all(os.path.exists(os.path.join(model_dir, n)) for n in
+               (JOBLIB_MODEL_NAME, JOBLIB_SCALER_NAME, JOBLIB_SELECTOR_NAME))
+
+
+def load_joblib_artifacts(model_dir) -> Tuple[SklearnModelAdapter,
+                                              SklearnSelectionAdapter]:
+    """Load a reference-corpus cell's pickled sklearn artifact trio.
+
+    The corpus was written by sklearn 1.7; loading under a newer sklearn
+    emits InconsistentVersionWarning but round-trips these simple estimators
+    faithfully (covered by tests/test_inference.py corpus tests).
+    """
+    import warnings
+
+    import joblib
+    with warnings.catch_warnings():
+        warnings.filterwarnings("ignore",
+                                message=".*InconsistentVersion.*")
+        try:  # sklearn >= 1.0 exposes the class; filter by category too
+            from sklearn.exceptions import InconsistentVersionWarning
+            warnings.simplefilter("ignore", InconsistentVersionWarning)
+        except ImportError:
+            pass
+        rf = joblib.load(os.path.join(model_dir, JOBLIB_MODEL_NAME))
+        scaler = joblib.load(os.path.join(model_dir, JOBLIB_SCALER_NAME))
+        selector = joblib.load(os.path.join(model_dir, JOBLIB_SELECTOR_NAME))
+    names_path = os.path.join(model_dir, FEATURES_NAME)
+    names = []
+    if os.path.exists(names_path):
+        with open(names_path) as fp:
+            payload = json.load(fp)
+        # the reference writes either a bare list or {"feature_names": [...]}
+        names = payload if isinstance(payload, list) else \
+            payload.get("all_feature_names", payload.get("feature_names", []))
+    return SklearnModelAdapter(rf), SklearnSelectionAdapter(scaler, selector,
+                                                            names)
+
+
+def load_any_artifacts(model_dir, artifact_format: str = "auto"):
+    """Load a model dir in either this framework's NPZ/JSON format or the
+    reference's joblib format.
+
+    artifact_format: "auto" (prefer native, fall back to joblib),
+    "wst_tpu", or "joblib".
+    """
+    if artifact_format not in ("auto", "wst_tpu", "joblib"):
+        raise ValueError(f"unknown artifact_format: {artifact_format!r}")
+    native = os.path.exists(os.path.join(model_dir, MODEL_NAME))
+    if artifact_format == "wst_tpu" or (artifact_format == "auto" and native):
+        return load_artifacts(model_dir)
+    if artifact_format == "joblib" or has_joblib_artifacts(model_dir):
+        return load_joblib_artifacts(model_dir)
+    raise FileNotFoundError(
+        f"{model_dir!r} contains neither {MODEL_NAME} nor the joblib trio "
+        f"({JOBLIB_MODEL_NAME}, {JOBLIB_SCALER_NAME}, {JOBLIB_SELECTOR_NAME})")

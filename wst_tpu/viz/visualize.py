@@ -245,6 +245,119 @@ def compare_wst_coefficients(clean: np.ndarray, noisy: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Scattering-disk polar rendering (the reference's signature C20 visual;
+# reference: src/visualization/compare_wst_coefficients.py:41-77).
+# ---------------------------------------------------------------------------
+
+def plot_scattering_disks(S: np.ndarray, J: int, L: int, fig, subplot_spec,
+                          order: int = 1) -> None:
+    """Render one image's scattering output as polar disks, one disk per
+    spatial window.
+
+    ``order=1``: each disk shows the J*L first-order coefficients as
+    grayscale wedges — orientation = the filter's angle
+    ((L - L/2 - 1 - l) * pi / L, plus the antipodal wedge since the modulus
+    is orientation-symmetric), radial band [2^(-j-1), 2^(-j)] for scale j.
+    ``order=2``: each first-order sector is subdivided radially into the
+    j2 > j1 scales and angularly into the theta2 orientations, showing all
+    L^2 * J(J-1)/2 second-order paths in one disk (the reference normalizes
+    a second-order mapper the same way; its plotting loop covers order 1 —
+    this renders both, a superset).
+
+    S: (n_coeffs, h, w) scattering maps in the canonical path order.
+    """
+    import matplotlib as mpl
+    import matplotlib.cm as cm
+    from matplotlib import gridspec
+
+    plt = _plt()
+    n1 = J * L
+    rows, cols = S.shape[1:]
+    grid = gridspec.GridSpecFromSubplotSpec(rows, cols,
+                                            subplot_spec=subplot_spec)
+    l_offset = int(L - L / 2 - 1)
+
+    if order == 1:
+        block = S[1:1 + n1]
+        norm = mpl.colors.Normalize(block.min(), block.max(), clip=True)
+        mapper = cm.ScalarMappable(norm=norm, cmap="gray")
+        for r in range(rows):
+            for c in range(cols):
+                ax = fig.add_subplot(grid[r, c], projection="polar")
+                ax.axis("off")
+                for j in range(J):
+                    for l in range(L):
+                        color = mapper.to_rgba(block[l + j * L, r, c])
+                        angle = (l_offset - l) * np.pi / L
+                        radius = 2.0 ** (-j - 1)
+                        for a in (angle, angle + np.pi):
+                            ax.bar(x=a, height=radius, width=np.pi / L,
+                                   bottom=radius, color=color)
+        return
+
+    block = S[1 + n1:]
+    norm = mpl.colors.Normalize(block.min(), block.max(), clip=True)
+    mapper = cm.ScalarMappable(norm=norm, cmap="gray")
+    for r in range(rows):
+        for c in range(cols):
+            ax = fig.add_subplot(grid[r, c], projection="polar")
+            ax.axis("off")
+            i = 0
+            for j1 in range(J):
+                for l1 in range(L):
+                    angle1 = (l_offset - l1) * np.pi / L
+                    for j2 in range(j1 + 1, J):
+                        for l2 in range(L):
+                            color = mapper.to_rgba(block[i, r, c])
+                            # subdivide the (j1, l1) sector: radial band by
+                            # j2, angular sliver by l2
+                            radius = 2.0 ** (-j1 - 1) * (
+                                1.0 + (j2 - j1 - 1) / max(J - j1 - 1, 1))
+                            width = np.pi / L / L
+                            a0 = angle1 - np.pi / (2 * L) + (l2 + 0.5) * width
+                            for a in (a0, a0 + np.pi):
+                                ax.bar(x=a, height=radius / max(J - 1, 1),
+                                       width=width, bottom=radius,
+                                       color=color)
+                            i += 1
+
+
+def compare_wst_disks(clean: np.ndarray, noisy: np.ndarray, output_dir,
+                      J: int = 3, L: int = 6,
+                      name: str = "clean_vs_noisy") -> str:
+    """Clean-vs-noisy polar scattering-disk figure, the reference's layout
+    (reference: src/visualization/compare_wst_coefficients.py:120-146):
+    row per image, [input | order-1 disk grid | order-2 disk grid].
+    Coefficients are negated like the reference ("invert colors", :39).
+    """
+    from matplotlib import gridspec
+
+    plt = _plt()
+    H, W = clean.shape
+    sc = get_scattering(J, L, H, W)
+    Sc = -np.asarray(sc(clean[None].astype(np.float32)))[0]
+    Sn = -np.asarray(sc(noisy[None].astype(np.float32)))[0]
+
+    fig = plt.figure(figsize=(18, 10))
+    gs = gridspec.GridSpec(2, 3, wspace=0.2, hspace=0.3)
+    for row, (img, S, label) in enumerate([(clean, Sc, "Clean"),
+                                           (noisy, Sn, "Noisy")]):
+        ax = fig.add_subplot(gs[row, 0])
+        ax.imshow(img, cmap="gray", interpolation="nearest", aspect="auto")
+        ax.set_title(f"{label} image", fontsize=13)
+        ax.axis("off")
+        plot_scattering_disks(S, J, L, fig, gs[row, 1], order=1)
+        plot_scattering_disks(S, J, L, fig, gs[row, 2], order=2)
+    fig.suptitle(f"WST scattering disks: {name} "
+                 f"(left: order 1, right: order 2)", fontsize=15)
+    Path(output_dir).mkdir(parents=True, exist_ok=True)
+    path = Path(output_dir) / f"wst_disks_{name}.png"
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return str(path)
+
+
+# ---------------------------------------------------------------------------
 # Output verification (C21).
 # ---------------------------------------------------------------------------
 
