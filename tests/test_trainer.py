@@ -96,3 +96,35 @@ def test_determinism(dataset, tmp_path):
     assert r1["performance"]["cv_scores"] == r2["performance"]["cv_scores"]
     assert (r1["feature_selection"]["selected_features"]
             == r2["feature_selection"]["selected_features"])
+
+
+def test_grid_runner_poisoned_cell_recorded(dataset, monkeypatch, tmp_path):
+    """Failure-detection (SURVEY.md §5): one poisoned cell must not abort
+    the grid — it is recorded as cell_error.json and the rest completes."""
+    from wst_tpu.train import grid_runner
+    from wst_tpu.train.grid_runner import ERROR_NAME, run_grid
+
+    size_dir = os.path.dirname(dataset)  # root containing 'mini'
+    real = grid_runner._run_cell_from_features
+    calls = []
+
+    def poisoned(config, cache, verbose=True):
+        calls.append(config.output_dir)
+        if config.k_features == 5:
+            raise RuntimeError("poisoned cell")
+        return real(config, cache, verbose=verbose)
+
+    monkeypatch.setattr(grid_runner, "_run_cell_from_features", poisoned)
+    out = tmp_path / "grid_out"
+    reports = run_grid({"rgb_clean": size_dir}, str(out),
+                       areas=["sunset"], sizes=["mini"],
+                       methods=["advanced_stats"], ks=[2, 5, 10],
+                       verbose=False)
+    assert len(calls) == 3
+    assert len(reports) == 2  # k=2 and k=10 completed
+    err_file = out / "rgb_clean/sunset/mini/k5/advanced_stats" / ERROR_NAME
+    assert err_file.exists()
+    rec = json.loads(err_file.read_text())
+    assert "poisoned cell" in rec["error"]
+    # the failed cell is re-runnable: no report was written there
+    assert not (err_file.parent / "experiment_report_with_model.json").exists()

@@ -30,7 +30,7 @@ import numpy as np
 
 from wst_tpu.ops.filter_bank import get_filter_bank
 from wst_tpu.ops.scattering import _dft_mats
-from wst_tpu.ops.pallas.fused_scattering import _fold_mat
+from wst_tpu.ops.pallas.fused_scattering import _fold_mat, _interpret_mode
 
 
 def _build_constants(J: int, L: int, H: int, W: int, boundary: str):
@@ -250,6 +250,7 @@ def _compiled(J: int, L: int, H: int, W: int, precision: str = "default",
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nb + pad_b, K, no, no),
                                            jnp.float32),
+            interpret=_interpret_mode(),
             **({"compiler_params": compiler_params}
                if compiler_params is not None else {}),
         )(xpad, *[params[k][None] for k in const_names])

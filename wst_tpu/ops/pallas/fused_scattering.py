@@ -49,6 +49,18 @@ def pallas_available() -> bool:
         return False
 
 
+def _interpret_mode() -> bool:
+    """Run the fused kernels in Pallas interpret mode off-TPU, so the
+    mode="pallas" paths (FeatureExtractor, DistributedTrainer, the
+    multi-chip dryrun) work on the simulated CPU mesh.  Override with
+    WST_PALLAS_INTERPRET=0/1."""
+    import os
+    env = os.environ.get("WST_PALLAS_INTERPRET")
+    if env is not None:
+        return env == "1"
+    return not pallas_available()
+
+
 def _fold_mat(m: int, k: int) -> np.ndarray:
     """(m/k, m) matrix averaging k-strided spectrum blocks: P = tile(I)/k."""
     eye = np.eye(m // k, dtype=np.float32)
@@ -371,16 +383,20 @@ def _compiled(L: int, H: int, W: int, precision: str = "default",
         )
         try:
             # The 16 MB scoped-VMEM compiler default is what capped the
-            # tall layout at B=2; the physical budget is larger.
+            # tall layout at B=2; the physical budget is larger (same cap
+            # policy as fused_general — overridable via WST_PALLAS_VMEM_MB).
+            import os
+            cap_mb = int(os.environ.get("WST_PALLAS_VMEM_MB", "96"))
             compiler_params = pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024)
-        except TypeError:  # pragma: no cover - older jax
+                vmem_limit_bytes=cap_mb * 1024 * 1024)
+        except (TypeError, ValueError):  # pragma: no cover - older jax
             compiler_params = None
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nb + pad_b, K, nq, nq),
                                            jnp.float32),
+            interpret=_interpret_mode(),
             **({"compiler_params": compiler_params}
                if compiler_params is not None else {}),
         )(xpad, *[params[k][None] for k in const_order])

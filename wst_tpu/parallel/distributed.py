@@ -65,8 +65,16 @@ class DistributedTrainer:
         self.min_samples_split = min_samples_split
         self.min_samples_leaf = min_samples_leaf
         self.max_depth = max_depth
-        self._scattering = (Scattering2D(J, L, H, W, mode=mode)
-                           if method in ("wst", "hybrid") else None)
+        self._scattering = None
+        self._fused = None
+        if method in ("wst", "hybrid"):
+            if mode == "pallas":
+                # Fused-kernel extraction inside the sharded step (runs in
+                # interpret mode off-TPU so the simulated mesh still works).
+                from wst_tpu.ops.pallas.fused_general import fused_scattering
+                self._fused = fused_scattering(J, L, H, W)
+            else:
+                self._scattering = Scattering2D(J, L, H, W, mode=mode)
 
         m = self.mesh
         dsh = NamedSharding(m, P(("data", "model")))  # batch over all chips
@@ -84,9 +92,12 @@ class DistributedTrainer:
             if method in ("advanced_stats", "hybrid"):
                 parts.append(advanced_stats(images))
             if method in ("wst", "hybrid"):
-                f = self._scattering._features_batch(
-                    images.reshape((-1,) + images.shape[-2:]),
-                    self._scattering._params)
+                flat = images.reshape((-1,) + images.shape[-2:])
+                if self._fused is not None:
+                    f = self._fused.features(flat)
+                else:
+                    f = self._scattering._features_batch(
+                        flat, self._scattering._params)
                 parts.append(f.reshape(images.shape[0], -1))
             X = parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
             return dshard(X)

@@ -32,6 +32,9 @@ from wst_tpu.data.dataset import load_area_images_and_labels
 from wst_tpu.features.extractor import FeatureExtractor, get_feature_names
 from wst_tpu.utils.artifacts import REPORT_NAME
 from wst_tpu.utils.config import ExperimentConfig
+from wst_tpu.utils.profiling import log_event
+
+ERROR_NAME = "cell_error.json"
 
 METHOD_SLICES = {
     "advanced_stats": (0, 54),
@@ -81,14 +84,23 @@ def run_grid(data_roots: Dict[str, str], out_root: str,
 
     For each condition/area/size, features are computed once and all
     (method, k) cells reuse them.  Returns the list of report dicts.
+
+    Robustness (SURVEY.md §5 failure-detection equivalent): a failing cell
+    is recorded (``cell_error.json`` in its output dir + a structured
+    ``cell_error`` log event) and the grid continues; progress is emitted
+    as JSON ``log_event`` lines (cell_start/cell_done with wall time and
+    extraction throughput) rather than bare prints.
     """
+    import time
+    import traceback
+
     reports = []
+    failures = []
     for condition, root in data_roots.items():
         for size in sizes:
             ds_path = os.path.join(root, size)
             if not os.path.isdir(ds_path):
-                if verbose:
-                    print(f"skip missing dataset: {ds_path}")
+                log_event("grid_skip_missing_dataset", path=ds_path)
                 continue
             for area in areas:
                 cache: Optional[_CellFeatures] = None
@@ -100,17 +112,50 @@ def run_grid(data_roots: Dict[str, str], out_root: str,
                                 and os.path.exists(os.path.join(out_dir,
                                                                 REPORT_NAME))):
                             continue
-                        if cache is None:
-                            images, labels, _ = load_area_images_and_labels(
-                                ds_path, area)
-                            cache = _CellFeatures(images, labels, J, L)
-                        cfg = ExperimentConfig(
-                            dataset_path=ds_path, area_name=area,
-                            feature_method=method, k_features=k,
-                            output_dir=out_dir, J=J, L=L)
-                        report = _run_cell_from_features(cfg, cache,
-                                                         verbose=verbose)
-                        reports.append(report)
+                        t0 = time.time()
+                        log_event("cell_start", cell=out_dir)
+                        try:
+                            if cache is None:
+                                images, labels, _ = \
+                                    load_area_images_and_labels(ds_path, area)
+                                te = time.time()
+                                cache = _CellFeatures(images, labels, J, L)
+                                log_event(
+                                    "features_extracted", condition=condition,
+                                    area=area, size=size,
+                                    n_images=int(len(labels)),
+                                    images_per_sec=round(
+                                        len(labels)
+                                        / max(time.time() - te, 1e-9), 2))
+                            cfg = ExperimentConfig(
+                                dataset_path=ds_path, area_name=area,
+                                feature_method=method, k_features=k,
+                                output_dir=out_dir, J=J, L=L)
+                            report = _run_cell_from_features(cfg, cache,
+                                                             verbose=verbose)
+                            reports.append(report)
+                            log_event(
+                                "cell_done", cell=out_dir,
+                                test_accuracy=report["performance"]
+                                ["test_accuracy"],
+                                cv_mean=report["performance"]
+                                ["cv_mean_accuracy"],
+                                wall_time_sec=round(time.time() - t0, 3))
+                        except Exception as err:  # noqa: BLE001 — record+go
+                            rec = {"cell": out_dir,
+                                   "error": f"{type(err).__name__}: {err}",
+                                   "traceback": traceback.format_exc(),
+                                   "time": time.time()}
+                            failures.append(rec)
+                            os.makedirs(out_dir, exist_ok=True)
+                            import json as _json
+                            with open(os.path.join(out_dir, ERROR_NAME),
+                                      "w") as fp:
+                                _json.dump(rec, fp, indent=2)
+                            log_event("cell_error", cell=out_dir,
+                                      error=rec["error"])
+    log_event("grid_done", cells_completed=len(reports),
+              cells_failed=len(failures))
     return reports
 
 

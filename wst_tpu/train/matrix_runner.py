@@ -30,6 +30,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from wst_tpu.data.dataset import load_area_images_and_labels
+from wst_tpu.utils.profiling import log_event
 from wst_tpu.features.extractor import get_feature_names
 from wst_tpu.features.selection import fit_select_kbest
 from wst_tpu.parallel.noise_matrix import NoiseMatrixPipeline
@@ -139,8 +140,9 @@ def run_matrix_suite(images: np.ndarray, labels: np.ndarray,
                 save_artifacts(out_dir, model, selection, report)
                 reports.append(report)
                 if verbose:
-                    print(f"[{condition}/{method}/k{k}] "
-                          f"cv={perf['cv_mean_accuracy']:.3f}")
+                    log_event("cell_done", cell=out_dir,
+                              cv_mean=perf["cv_mean_accuracy"],
+                              wall_time_sec=round(time.time() - t0, 3))
     return reports
 
 
@@ -242,7 +244,7 @@ def _run_cells_batched(per_condition, labels, out_root, area_name,
         save_artifacts(cfg.output_dir, model, selection, report)
         reports.append(report)
         if verbose:
-            print(f"[{c}/{method}/k{k}] "
+            log_event("cell_done_batched", detail=f"[{c}/{method}/k{k}] "
                   f"cv={perf['cv_mean_accuracy']:.3f}")
     return reports
 
