@@ -83,8 +83,14 @@ def main():
     plan = [("xla_matmul", lambda: bench_xla(batch, iters))]
     if on_tpu:
         # tall2 first: the fastest measured layout (12,080 patches/s).
-        # reflect+tall2 is omitted: its stacked VMEM working set exceeds
-        # the 16 MB budget on the 136-point reflect-padded grid.
+        # reflect+tall2 is omitted as a MEASURED negative result (round 2):
+        # with the scoped-VMEM cap raised to 96 MB it does compile, but the
+        # Mosaic compile takes 22 min and the kernel lands at 1,292
+        # patches/s vs wide's 6,357 — the B=2-stacked working set on the
+        # 136-point reflect grid (2x everything: 136x136 spectra through
+        # the whole 81-path cascade) blows past the ~16 MB VMEM that can
+        # stay resident, so the scheduler spills; wide remains optimal for
+        # the reflect boundary.
         plan += [("pallas_periodic_tall2",
                   lambda: bench_pallas(batch, iters, "periodic", "tall2")),
                  ("pallas_periodic", lambda: bench_pallas(batch, iters,
