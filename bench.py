@@ -74,7 +74,11 @@ def main():
     # Remote-tunnel compiles are minutes each; run candidates best-first and
     # stop starting new ones once the budget is spent so a JSON line always
     # lands before any outer timeout.
-    budget = float(os.environ.get("WST_BENCH_BUDGET_SEC", "420"))
+    # The axon tunnel's latency varies by hours-of-day from ~30 s to ~5 min
+    # per compile (measured 2026-08-20); the SIGTERM handler below emits the
+    # best-so-far JSON line if the harness kills us first, so a generous
+    # budget only ever helps.
+    budget = float(os.environ.get("WST_BENCH_BUDGET_SEC", "1200"))
     t_start = time.perf_counter()
 
     # Cheapest-compiling candidate first so at least one number lands even
@@ -91,10 +95,10 @@ def main():
         # the whole 81-path cascade) blows past the ~16 MB VMEM that can
         # stay resident, so the scheduler spills; wide remains optimal for
         # the reflect boundary.
+        # (periodic-wide dropped from the plan: tall2 dominated it in every
+        # round-1 measurement, and each remote compile costs minutes.)
         plan += [("pallas_periodic_tall2",
                   lambda: bench_pallas(batch, iters, "periodic", "tall2")),
-                 ("pallas_periodic", lambda: bench_pallas(batch, iters,
-                                                          "periodic")),
                  ("pallas_reflect", lambda: bench_pallas(batch, iters,
                                                          "reflect"))]
 

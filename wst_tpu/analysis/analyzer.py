@@ -303,16 +303,96 @@ class NoiseExperimentAnalyzer:
             L.append(f"- {a}: {v:.3f}")
         L.append("")
 
+        # -- noise robustness table (the reference's "KEY FINDINGS" §2,
+        #    analyze_gaussian_experiments.py:264-275) -----------------------
+        noise_stats = df.groupby("noise_condition")["mean_accuracy"] \
+            .agg(["mean", "std"])
+        clean_acc = (noise_stats.loc["clean", "mean"]
+                     if "clean" in noise_stats.index else 0.0)
+        L.append("## NOISE ROBUSTNESS")
+        L.append("")
+        L.append("| Condition | Mean Accuracy | Performance Loss |")
+        L.append("|-----------|---------------|------------------|")
+        for cond in fam.conditions:
+            if cond not in noise_stats.index:
+                continue
+            row = noise_stats.loc[cond]
+            loss = ((clean_acc - row["mean"]) * 100
+                    if cond != "clean" and clean_acc > 0 else 0.0)
+            loss_str = f"-{loss:.1f}%" if loss > 0 else "baseline"
+            L.append(f"| {fam.label(cond)} | {row['mean']:.3f} ± "
+                     f"{row['std']:.3f} | {loss_str} |")
+        L.append("")
+
+        # -- per-area best/worst breakdown (the reference's §3,
+        #    analyze_gaussian_experiments.py:277-292) -----------------------
+        L.append("## GEOGRAPHIC AREA ANALYSIS")
+        for area in sorted(df["area"].unique()):
+            sub = df[df["area"] == area]
+            stats = sub.groupby("feature_method")["mean_accuracy"] \
+                .agg(["mean", "std"]).sort_values("mean", ascending=False)
+            L.append(f"### {area.upper()}")
+            for i, (m, row) in enumerate(stats.iterrows()):
+                tag = (" (best in this area)" if i == 0 else
+                       " (weakest in this area)" if i == len(stats) - 1
+                       else "")
+                L.append(f"- **{METHOD_LABELS.get(m, m)}**: "
+                         f"{row['mean']:.3f} ± {row['std']:.3f}{tag}")
+            L.append("")
+
         noisy = df[df["noise_condition"] != "clean"]
+        clean = df[df["noise_condition"] == "clean"]
         if len(noisy):
-            best_noisy = noisy.groupby("feature_method")[
-                "mean_accuracy"].mean().idxmax()
+            noisy_means = noisy.groupby("feature_method")[
+                "mean_accuracy"].mean()
+            best_noisy = noisy_means.idxmax()
             L.append("## ROBUSTNESS VERDICT")
             L.append(
                 f"Most robust method under {fam.name.replace('_', ' ')} "
                 f"noise: **{METHOD_LABELS.get(best_noisy, best_noisy)}** "
-                f"({noisy.groupby('feature_method')['mean_accuracy'].mean().max():.3f} mean accuracy across noisy "
+                f"({noisy_means.max():.3f} mean accuracy across noisy "
                 f"conditions).")
+            L.append("")
+
+        # -- conclusions + recommendations, derived from the data (the
+        #    reference hardcodes this prose; analyze_gaussian_experiments.py:
+        #    294-337) ------------------------------------------------------
+        if len(noisy) and len(clean):
+            drop = (clean.groupby("feature_method")["mean_accuracy"].mean()
+                    - noisy.groupby("feature_method")["mean_accuracy"]
+                    .mean()).sort_values()
+            most_stable, most_fragile = drop.index[0], drop.index[-1]
+            consistency = df.groupby("feature_method")["mean_accuracy"] \
+                .std().sort_values()
+            L.append("## CONCLUSIONS")
+            L.append("")
+            for i, (m, d) in enumerate(drop.items(), 1):
+                L.append(f"{i}. **{METHOD_LABELS.get(m, m)}** loses "
+                         f"{d * 100:.1f} points clean -> noisy"
+                         + (" (most robust)" if m == most_stable else
+                            " (most degraded)" if m == most_fragile else
+                            ""))
+            L.append("")
+            L.append(f"Lowest run-to-run variability: "
+                     f"**{METHOD_LABELS.get(consistency.index[0], consistency.index[0])}** "
+                     f"(std {consistency.iloc[0]:.3f}).")
+            L.append("")
+            L.append("## PRACTICAL RECOMMENDATIONS")
+            L.append("")
+            L.append(f"1. For {fam.name.replace('_', ' ')}-degraded "
+                     f"imagery: use "
+                     f"**{METHOD_LABELS.get(best_noisy, best_noisy)}** "
+                     f"(highest mean accuracy under noise).")
+            best_clean = clean.groupby("feature_method")[
+                "mean_accuracy"].mean().idxmax()
+            L.append(f"2. For clean imagery: "
+                     f"**{METHOD_LABELS.get(best_clean, best_clean)}** "
+                     f"leads the clean suite.")
+            best_k = df.groupby("k_features")["mean_accuracy"].mean() \
+                .idxmax()
+            L.append(f"3. Feature budget: k={best_k} maximizes mean "
+                     f"accuracy on this suite; smaller k trades accuracy "
+                     f"for interpretability.")
         return "\n".join(L)
 
     # ---------------------------------------------------------------- plots
