@@ -88,3 +88,19 @@ def test_graft_entry_and_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 540)
     g.dryrun_multichip(8)
+
+
+def test_distributed_pallas_extraction_parity(rng):
+    """mode='pallas' (fused kernel, interpret off-TPU) inside the sharded
+    trainer matches the XLA extraction path (VERDICT round-1 next-step #5)."""
+    from wst_tpu.parallel.distributed import DistributedTrainer
+    from wst_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_devices=8, model_axis=2)
+    x = rng.random((16, 3, 16, 16)).astype(np.float32)
+    kw = dict(mesh=mesh, method="wst", H=16, W=16, J=2, L=4,
+              k_features=5, n_estimators=4, n_classes=3)
+    f_pallas = DistributedTrainer(mode="pallas", **kw).extract_features(x)
+    f_xla = DistributedTrainer(**kw).extract_features(x)
+    np.testing.assert_allclose(np.asarray(f_pallas), np.asarray(f_xla),
+                               atol=2e-4, rtol=2e-3)
