@@ -84,7 +84,7 @@ def main():
     # Cheapest-compiling candidate first so at least one number lands even
     # under a tight outer timeout; the re-measure pass below keeps the best
     # reading per candidate regardless of order.
-    plan = [("xla_matmul", lambda: bench_xla(batch, iters))]
+    plan = [(f"xla_matmul_b{batch}", lambda: bench_xla(batch, iters))]
     if on_tpu:
         # tall2 first: the fastest measured layout (12,080 patches/s).
         # reflect+tall2 is omitted as a MEASURED negative result (round 2):
@@ -97,10 +97,15 @@ def main():
         # the reflect boundary.
         # (periodic-wide dropped from the plan: tall2 dominated it in every
         # round-1 measurement, and each remote compile costs minutes.)
-        plan += [("pallas_periodic_tall2",
+        # batch 512 amortizes dispatch best on the measured batch-scaling
+        # curve (reports/SCALING_tpu_batch.json: 14.8k patches/s vs 11.8k
+        # at 128).
+        plan += [("pallas_periodic_tall2_b512",
+                  lambda: bench_pallas(512, iters, "periodic", "tall2")),
+                 (f"pallas_periodic_tall2_b{batch}",
                   lambda: bench_pallas(batch, iters, "periodic", "tall2")),
-                 ("pallas_reflect", lambda: bench_pallas(batch, iters,
-                                                         "reflect"))]
+                 (f"pallas_reflect_b{batch}",
+                  lambda: bench_pallas(batch, iters, "reflect"))]
 
     candidates = {}
     fns = {}
@@ -126,8 +131,8 @@ def main():
         try:
             pps = fn()
             if pps:
-                candidates[f"{name}_b{batch}"] = pps
-                fns[f"{name}_b{batch}"] = fn
+                candidates[name] = pps
+                fns[name] = fn
         except Exception as e:
             print(f"# {name} failed: {e}", file=sys.stderr)
 
