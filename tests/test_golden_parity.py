@@ -152,3 +152,11 @@ def test_against_real_kymatio():
     ky = np.stack([sc(img.astype(np.float64)) for img in inputs])
     ours = np.stack([KO.scattering2d(img, 2, 8) for img in inputs])
     assert _max_rel(ours, ky) < 1e-6
+
+
+def test_matmul_backend_matches_golden():
+    """The MXU DFT-matmul backend (the TPU default) against the goldens."""
+    inputs, coeffs = _load(2, 8, 128, 128)
+    sc = Scattering2D(2, 8, 128, 128, mode="matmul", boundary="reflect")
+    got = np.asarray(sc(np.asarray(inputs)))
+    assert _max_rel(got, coeffs) < 1e-4
