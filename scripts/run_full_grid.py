@@ -45,6 +45,21 @@ def main(argv=None):
         ds_path = os.path.join(args.data, size)
         for area in AREAS:
             t0 = time.time()
+            # Block-level resume (the remote TPU worker can crash mid-run):
+            # one (area, size) block = one device pass = 14 conditions x
+            # 3 methods x |k| cells; skip blocks whose reports all exist.
+            from wst_tpu.parallel.noise_matrix import noise_matrix_conditions
+            expected = [os.path.join(exp_root, cond, area, size, f"k{k}",
+                                     method,
+                                     "experiment_report_with_model.json")
+                        for cond, _, _ in noise_matrix_conditions()
+                        for method in ("advanced_stats", "wst", "hybrid")
+                        for k in args.k]
+            if all(os.path.exists(p) for p in expected):
+                n_cells += len(expected)
+                print(f"[grid] {area}/{size}: {len(expected)} cells already "
+                      f"present, skipping ({n_cells} total)", flush=True)
+                continue
             images, labels, _ = load_area_images_and_labels(ds_path, area)
             reports = run_matrix_suite(
                 images, labels, exp_root, area, size,
