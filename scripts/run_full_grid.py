@@ -49,8 +49,10 @@ def main(argv=None):
             # one (area, size) block = one device pass = 14 conditions x
             # 3 methods x |k| cells; skip blocks whose reports all exist.
             from wst_tpu.parallel.noise_matrix import noise_matrix_conditions
-            expected = [os.path.join(exp_root, cond, area, size, f"k{k}",
-                                     method,
+            expected = [os.path.join(exp_root,
+                                     "rgb_clean" if cond == "clean"
+                                     else cond,
+                                     area, size, f"k{k}", method,
                                      "experiment_report_with_model.json")
                         for cond, _, _ in noise_matrix_conditions()
                         for method in ("advanced_stats", "wst", "hybrid")
