@@ -73,6 +73,24 @@ class ForestArrays:
                    probs=np.asarray(d["probs"], np.float32))
 
 
+def _max_cells_per_dispatch() -> int:
+    """Hard cap on vmapped cells per device dispatch (fit and predict).
+
+    Purely a dispatch-shape knob — results are identical at any value (the
+    chunks concatenate).  The remote axon TPU worker reproducibly crashes
+    ("kernel fault") on very large vmapped forest fits (a 188-cell fit of
+    (36, 20) inputs with 10 trees dies; 72 cells run fine, measured
+    2026-08-20), so the default stays comfortably under that.  Override
+    with WST_MAX_CELLS_PER_DISPATCH.
+    """
+    import os
+    try:
+        return max(1, int(os.environ.get("WST_MAX_CELLS_PER_DISPATCH",
+                                         "64")))
+    except ValueError:
+        return 64
+
+
 def _active_cap(max_active: int, n: int, min_samples_leaf: int) -> int:
     """Tight frontier bound: every active (splittable) node holds at least
     ``min_samples_leaf`` distinct samples and nodes partition the samples,
@@ -482,7 +500,8 @@ def fit_tree_ensembles(Xs, ys, n_estimators: int = 50,
     # still orders of magnitude fewer than per-cell fitting).
     bytes_per_cell = (n_estimators * active_cap * F * max_bins_eff
                       * (C + 1) * 4) * 6
-    chunk = int(max(1, min(M, (3 << 30) // max(1, bytes_per_cell))))
+    chunk = int(max(1, min(M, (3 << 30) // max(1, bytes_per_cell),
+                           _max_cells_per_dispatch())))
 
     parts = []
     for lo in range(0, M, chunk):
@@ -549,16 +568,21 @@ def predict_proba_tree_ensembles(models, Xs):
         return [m.predict_proba(X) for m, X in zip(models, Xs)]
     X = np.stack([np.asarray(x, np.float32) for x in Xs])
     f = [m.forest_ for m in models]
-    out = _predict_forest_cells(
-        jnp.asarray(X),
-        jnp.asarray(np.stack([g.feature for g in f])),
-        jnp.asarray(np.stack([g.threshold for g in f])),
-        jnp.asarray(np.stack([g.left for g in f])),
-        jnp.asarray(np.stack([g.right for g in f])),
-        jnp.asarray(np.stack([g.is_leaf for g in f])),
-        jnp.asarray(np.stack([g.probs for g in f])),
-        max_depth=next(iter(depths)))
-    return list(np.asarray(out))
+    tables = [np.stack([g.feature for g in f]),
+              np.stack([g.threshold for g in f]),
+              np.stack([g.left for g in f]),
+              np.stack([g.right for g in f]),
+              np.stack([g.is_leaf for g in f]),
+              np.stack([g.probs for g in f])]
+    depth = next(iter(depths))
+    cap = _max_cells_per_dispatch()
+    outs = []
+    for lo in range(0, M, cap):
+        sl = slice(lo, min(M, lo + cap))
+        outs.append(np.asarray(_predict_forest_cells(
+            jnp.asarray(X[sl]), *[jnp.asarray(t[sl]) for t in tables],
+            max_depth=depth)))
+    return list(np.concatenate(outs, axis=0))
 
 
 def predict_tree_ensembles(models, Xs):
