@@ -101,3 +101,20 @@ def test_matrix_suite_batched_equals_percell(tmp_path):
         s = slow_by_key[key(r)]
         for fld in ("performance", "feature_selection", "dataset_info"):
             assert r[fld] == s[fld], (key(r), fld)
+
+
+def test_dispatch_cap_chunks_are_bitwise_identical(monkeypatch, rng):
+    """WST_MAX_CELLS_PER_DISPATCH only changes dispatch shapes, never
+    results (axon worker-crash workaround, models/forest.py)."""
+    from wst_tpu.models.forest import (fit_tree_ensembles,
+                                       predict_proba_tree_ensembles)
+    y = np.repeat([0, 1, 2], 10)
+    Xs = [rng.normal(size=(30, 6)).astype(np.float32) for _ in range(7)]
+    monkeypatch.setenv("WST_MAX_CELLS_PER_DISPATCH", "3")  # 7 cells -> 3 chunks
+    capped = fit_tree_ensembles(Xs, [y] * 7, n_estimators=5, random_state=1)
+    p_capped = predict_proba_tree_ensembles(capped, Xs)
+    monkeypatch.delenv("WST_MAX_CELLS_PER_DISPATCH")
+    full = fit_tree_ensembles(Xs, [y] * 7, n_estimators=5, random_state=1)
+    p_full = predict_proba_tree_ensembles(full, Xs)
+    for a, b in zip(p_capped, p_full):
+        np.testing.assert_array_equal(a, b)
