@@ -497,10 +497,16 @@ def fit_tree_ensembles(Xs, ys, n_estimators: int = 50,
     # The split search materializes an (M, trees, active, F, bins, C+1)
     # histogram plus a few same-size cumsum pyramids; chunk M so the
     # workspace stays well inside HBM (one compile, several dispatches —
-    # still orders of magnitude fewer than per-cell fitting).
+    # still orders of magnitude fewer than per-cell fitting).  The 1 GiB
+    # default budget is deliberately conservative: the remote compile
+    # helper dies (HTTP 500) on ~3 GiB original-block programs (n=96,
+    # 50 trees, 64 cells — measured 2026-08-20), and XLA's padding
+    # expansion inflates the estimate ~3x.
+    import os
+    budget = int(os.environ.get("WST_FOREST_DISPATCH_BYTES", 1 << 30))
     bytes_per_cell = (n_estimators * active_cap * F * max_bins_eff
                       * (C + 1) * 4) * 6
-    chunk = int(max(1, min(M, (3 << 30) // max(1, bytes_per_cell),
+    chunk = int(max(1, min(M, budget // max(1, bytes_per_cell),
                            _max_cells_per_dispatch())))
 
     parts = []
