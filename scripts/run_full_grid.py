@@ -46,15 +46,22 @@ def main(argv=None):
         for area in AREAS:
             t0 = time.time()
             # Block-level resume (the remote TPU worker can crash mid-run):
-            # one (area, size) block = one device pass = 14 conditions x
+            # one (area, size) block = one device pass = |conditions| x
             # 3 methods x |k| cells; skip blocks whose reports all exist.
+            # The expected set must honor --families exactly as
+            # run_matrix_suite does, or a families-restricted rerun would
+            # never see a complete block and resume would silently no-op.
             from wst_tpu.parallel.noise_matrix import noise_matrix_conditions
+            from wst_tpu.utils.artifacts import REPORT_NAME
+            conds = [cond for cond, _, _ in noise_matrix_conditions()
+                     if args.families is None or cond == "clean"
+                     or any(cond.startswith(f) for f in args.families)]
             expected = [os.path.join(exp_root,
                                      "rgb_clean" if cond == "clean"
                                      else cond,
                                      area, size, f"k{k}", method,
-                                     "experiment_report_with_model.json")
-                        for cond, _, _ in noise_matrix_conditions()
+                                     REPORT_NAME)
+                        for cond in conds
                         for method in ("advanced_stats", "wst", "hybrid")
                         for k in args.k]
             if all(os.path.exists(p) for p in expected):

@@ -35,10 +35,68 @@ def test_mi_matches_sklearn(rng):
     _, Xs = fit_standard_scaler(X)
     ours = mutual_info_classif(Xs, y)
     theirs = sk_mi(Xs, y, n_neighbors=3, random_state=0)
-    # Same estimator, different 1e-10 tie-break noise: scores agree tightly.
-    np.testing.assert_allclose(ours, theirs, atol=0.02)
-    # Ranking of informative vs noise features agrees.
+    # Bit-faithful host path: same scaling, same noise stream, same kNN.
+    np.testing.assert_allclose(ours, theirs, atol=1e-12)
     assert set(np.argsort(ours)[-6:]) == set(np.argsort(theirs)[-6:])
+
+
+def test_mi_exact_reproduces_sklearn_memory_layout_quirk():
+    """Regression: sklearn scales X[:, continuous_mask] — an F-CONTIGUOUS
+    fancy-index copy — and np.nanstd's pairwise summation order depends on
+    layout, so a C-contiguous replication differs by 1 ulp on ~10% of
+    columns; the 1e-10 tie-break noise amplifies those ulps into m-count
+    flips worth ~0.01 MI.  The exact path must match sklearn bitwise (to
+    digamma rounding) on tie-heavy inputs at every science dataset size."""
+    for seed, n_per, F in [(1, 5, 130), (2, 15, 96), (3, 40, 64)]:
+        r = np.random.default_rng(seed)
+        X = r.normal(size=(3 * n_per, F))
+        X[:, 5] = np.repeat([0.0, 1.0, 2.0], n_per)      # duplicate-heavy
+        X[:, 6] = np.round(r.normal(size=3 * n_per), 1)  # many ties
+        y = np.repeat([0, 1, 2], n_per)
+        Xs = StandardScaler().fit_transform(X)
+        ours = mutual_info_classif(Xs, y)
+        theirs = sk_mi(Xs, y, n_neighbors=3, random_state=0)
+        np.testing.assert_allclose(ours, theirs, atol=1e-12)
+
+
+def test_mi_crossover_continuity(rng):
+    """The n=512 host/device estimator crossover must not flip selection.
+
+    At n just below the cap, the exact host path and the device Kraskov
+    kernel must pick (nearly) the same top-10 on realistic data; and the
+    512 -> 513 transition must keep the same top-k set on separable data
+    (a silent rank flip here would change a full-scene experiment's
+    features)."""
+    from wst_tpu.features.selection import (_MI_EXACT_MAX_N,
+                                            _mi_classif_device)
+    import jax.numpy as jnp
+
+    # (a) host vs device agreement just below the cap, realistic features
+    n, F = 510, 64
+    y = rng.integers(0, 3, size=n)
+    X = rng.normal(size=(n, F))
+    X[:, :8] += y[:, None] * np.linspace(0.4, 1.6, 8)
+    _, Xs = fit_standard_scaler(X)
+    exact = mutual_info_classif(Xs, y)           # host path (n <= 512)
+    means = np.maximum(1.0, np.mean(np.abs(Xs), axis=0))
+    noise = np.random.RandomState(0).standard_normal(Xs.shape)
+    dev = np.asarray(_mi_classif_device(
+        jnp.asarray(Xs + 1e-10 * means * noise, jnp.float32),
+        jnp.asarray(y, jnp.int32), 3))
+    np.testing.assert_allclose(exact, dev, atol=0.02)
+    overlap = set(top_k_indices(exact, 10)) & set(top_k_indices(dev, 10))
+    assert len(overlap) >= 9, sorted(overlap)
+
+    # (b) n=512 -> 513 must not flip the selected set on separable data
+    n2 = _MI_EXACT_MAX_N + 1
+    y2 = rng.integers(0, 3, size=n2)
+    X2 = rng.normal(size=(n2, 32))
+    X2[:, :5] += y2[:, None] * 2.0
+    _, Xs2 = fit_standard_scaler(X2)
+    below = mutual_info_classif(Xs2[:-1], y2[:-1])   # n=512: host path
+    above = mutual_info_classif(Xs2, y2)             # n=513: device path
+    assert set(top_k_indices(below, 5)) == set(top_k_indices(above, 5)) \
+        == {0, 1, 2, 3, 4}
 
 
 def test_top_k_matches_sklearn_tiebreak():

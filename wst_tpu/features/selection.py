@@ -172,11 +172,19 @@ def _mi_classif_sklearn_exact(X: np.ndarray, y_enc: np.ndarray,
 
     X = np.asarray(X, np.float64)
     n, F = X.shape
-    std = X.std(axis=0)
-    X = X / np.where(std == 0.0, 1.0, std)
+    # sklearn scales X[:, continuous_mask] — a fancy-indexed copy that numpy
+    # returns F-CONTIGUOUS, and np.nanstd's pairwise summation order depends
+    # on memory layout: a C-contiguous std differs by 1 ulp on ~10% of
+    # columns, which the 1e-10 tie-break noise then amplifies into m-count
+    # flips (~0.01 MI jumps).  Reproduce the F layout and sklearn's
+    # _handle_zeros_in_scale threshold (std < 10*eps -> 1) exactly.
+    X = np.asfortranarray(X)
+    std = np.nanstd(X, axis=0)
+    std = np.where(std < 10 * np.finfo(np.float64).eps, 1.0, std)
+    X /= std                      # in place: keeps the F layout for the
     rng = np.random.RandomState(noise_seed)
-    means = np.maximum(1.0, np.mean(np.abs(X), axis=0))
-    X = X + 1e-10 * means * rng.standard_normal(X.shape)
+    means = np.maximum(1.0, np.mean(np.abs(X), axis=0))  # F-order reduction
+    X = X + 1e-10 * means * rng.standard_normal((n, F))
 
     radius = np.zeros((n, F))
     k_all = np.zeros(n)
@@ -190,18 +198,22 @@ def _mi_classif_sklearn_exact(X: np.ndarray, y_enc: np.ndarray,
         k = min(n_neighbors, count - 1)
         k_all[mask] = k
         sub = X[mask]                                  # (c, F)
-        if k >= count // 2:
-            # brute: quadratic expansion like sklearn's GEMM kernel
-            sq = sub * sub                             # (c, F)
-            d2 = sq[:, None, :] - 2.0 * np.einsum("if,jf->ijf", sub, sub) \
-                + sq[None, :, :]
-            d = np.sqrt(np.maximum(d2, 0.0))           # (c, c, F)
-        else:
-            d = np.abs(sub[:, None, :] - sub[None, :, :])
         idx = np.arange(count)
-        d[idx, idx, :] = np.inf                        # exclude self
-        d.sort(axis=1)
-        radius[mask] = np.nextafter(d[:, k - 1, :], 0)
+        for j0 in range(0, F, 64):                     # bound the workspace
+            sl = slice(j0, min(j0 + 64, F))
+            sf = sub[:, sl]
+            if k >= count // 2:
+                # brute: quadratic expansion like sklearn's GEMM kernel
+                sq = sf * sf                           # (c, f)
+                d2 = sq[:, None, :] \
+                    - 2.0 * np.einsum("if,jf->ijf", sf, sf) \
+                    + sq[None, :, :]
+                d = np.sqrt(np.maximum(d2, 0.0))       # (c, c, f)
+            else:
+                d = np.abs(sf[:, None, :] - sf[None, :, :])
+            d[idx, idx, :] = np.inf                    # exclude self
+            d.sort(axis=1)
+            radius[mask, sl] = np.nextafter(d[:, k - 1, :], 0)
 
     valid = label_counts > 1
     n_eff = int(valid.sum())

@@ -503,7 +503,10 @@ def fit_tree_ensembles(Xs, ys, n_estimators: int = 50,
     # 50 trees, 64 cells — measured 2026-08-20), and XLA's padding
     # expansion inflates the estimate ~3x.
     import os
-    budget = int(os.environ.get("WST_FOREST_DISPATCH_BYTES", 1 << 30))
+    try:
+        budget = int(os.environ.get("WST_FOREST_DISPATCH_BYTES", 1 << 30))
+    except ValueError:
+        budget = 1 << 30
     bytes_per_cell = (n_estimators * active_cap * F * max_bins_eff
                       * (C + 1) * 4) * 6
     chunk = int(max(1, min(M, budget // max(1, bytes_per_cell),

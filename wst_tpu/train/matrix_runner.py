@@ -244,8 +244,9 @@ def _run_cells_batched(per_condition, labels, out_root, area_name,
         save_artifacts(cfg.output_dir, model, selection, report)
         reports.append(report)
         if verbose:
-            log_event("cell_done_batched", detail=f"[{c}/{method}/k{k}] "
-                  f"cv={perf['cv_mean_accuracy']:.3f}")
+            log_event("cell_done", cell=cfg.output_dir,
+                      cv_mean=perf["cv_mean_accuracy"],
+                      wall_time_sec=wall, batched=True)
     return reports
 
 
