@@ -1,9 +1,27 @@
 """End-to-end accuracy-parity harness: composed wst_tpu stack vs composed
 sklearn stack on identical feature matrices (BASELINE.json 0.5% target).
 
-For each of 3 synthetic areas x 3 dataset sizes, extracts hybrid WST
-features once (blended-class + gaussian-noise imagery tuned to the
-reference's accuracy regime ~0.85-0.95), then runs over >=20 seeds:
+Two regimes, both written into reports/PARITY.json:
+
+1. ``families`` (round-2 back-compat): 3 synthetic areas x 3 dataset sizes
+   on blended-class + gaussian-noise imagery tuned to the reference's
+   accuracy regime (~0.6-0.9), >= 20 seeds each, plus a deep-seed
+   ``bias_bound`` pass (>= 150 seeds) on the worst families so the
+   per-family bias is bounded with a 95% CI instead of a noise-floor
+   assertion (VERDICT round-2 directive #2).
+
+2. ``suites`` (VERDICT round-2 directive #1): all six experiment suites of
+   the reference's factorial grid — clean + the 5 noise families at the
+   reference intensities (gaussian 30/50, poisson 40/60, salt&pepper
+   5/15/25, speckle 15/35/55, uniform 10/25/40; reference:
+   src/preprocessing/add_noise.py:14-72) — applied to the synthetic
+   imagery with wst_tpu.ops.noise (same uint8 semantics as add_noise.py),
+   3 areas x 3 sizes per condition.  Per suite it records pooled CV/test
+   accuracy deltas AND per-class test-recall deltas (reference composes
+   per-class metrics from the test-split classification_report,
+   src/training/train_and_save_model.py:183-198).
+
+Per cell, both stacks see identical feature matrices:
 
   (a) sklearn: StandardScaler -> SelectKBest(mutual_info_classif, k=10)
       -> RandomForestClassifier(n_estimators per the reference's size
@@ -11,11 +29,11 @@ reference's accuracy regime ~0.85-0.95), then runs over >=20 seeds:
       min_samples_leaf=2) with stratified 80/20 split + 5-fold stratified
       CV (reference: src/training/train_and_save_model.py:147-198);
   (b) wst_tpu: fit_select_kbest -> TreeEnsembleClassifier with this
-      framework's splits (bit-identical to sklearn's) — CV fits batched
-      through fit_tree_ensembles.
+      framework's splits (bit-identical to sklearn's) — ALL seeds' (test +
+      5 fold) fits run in one batched device dispatch via per-cell seeds.
 
-Prints one JSON dict per family and a summary; usable as a script
-(writes reports/PARITY.json) or imported by tests/test_e2e_parity.py.
+Usable as a script (writes reports/PARITY.json) or imported by
+tests/test_e2e_parity.py.
 """
 
 import json
@@ -24,20 +42,26 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def make_area_features(area: str, hw: int = 64, n_per: int = 40,
-                       alpha: float = 0.4, sigma: float = 50.0,
-                       seed: int = 7):
-    """Blended-class noisy synthetic imagery -> (hybrid features, labels).
+SIZES = {"mini": (5, 3), "small": (15, 10), "original": (40, 50)}
+AREAS = ("assatigue", "popolar", "sunset")
 
-    Blending class textures (alpha) + additive gaussian noise (sigma, in
-    uint8 units) de-saturates the task so parity is measured at the
-    reference's accuracy regime instead of at a vacuous 1.0.
+# hw=64 keeps CPU extraction tractable; J=2, L=8 as the reference.
+HW = 64
+
+
+def _blended_images(area: str, hw: int, n_per: int, alpha: float,
+                    seed: int):
+    """Blended-class synthetic imagery -> (uint8 HWC images, labels).
+
+    Blending class textures (alpha = weight of the labeled class)
+    de-saturates the task so parity is measured at the reference's accuracy
+    regime instead of at a vacuous 1.0.
     """
     import zlib
 
     from wst_tpu.data.dataset import CLASSES, synthesize_patch
-    from wst_tpu.features.extractor import FeatureExtractor
 
     # zlib.crc32, not hash(): str hash is salted per process
     rng = np.random.default_rng(seed + zlib.crc32(area.encode()) % 1000)
@@ -48,34 +72,82 @@ def make_area_features(area: str, hw: int = 64, n_per: int = 40,
         for i in range(n_per):
             other = per[CLASSES[rng.integers(0, len(CLASSES))]][
                 rng.integers(0, n_per)]
-            imgs.append(alpha * per[c][i].astype(np.float32)
-                        + (1 - alpha) * other.astype(np.float32))
-    x = np.stack(imgs).astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+            imgs.append(np.clip(
+                alpha * per[c][i].astype(np.float32)
+                + (1 - alpha) * other.astype(np.float32), 0, 255
+            ).astype(np.uint8))
+    return np.stack(imgs), np.repeat(CLASSES, n_per)
+
+
+def make_area_features(area: str, hw: int = HW, n_per: int = 40,
+                       alpha: float = 0.4, sigma: float = 50.0,
+                       seed: int = 7):
+    """Round-2 regime: blended + float-gaussian-noised -> hybrid features."""
+    from wst_tpu.features.extractor import FeatureExtractor
+
+    u8, y = _blended_images(area, hw, n_per, alpha, seed)
+    rng = np.random.default_rng(seed + 1)
+    x = u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
     x = np.clip(x + rng.normal(0, sigma / 255, x.shape).astype(np.float32),
                 0, 1)
     fx = FeatureExtractor("hybrid", hw, hw, 2, 8)
-    return fx.extract_numpy(x), np.repeat(CLASSES, n_per)
+    return fx.extract_numpy(x), y
+
+
+def suite_conditions():
+    """[(condition, family-or-None, intensity)] — the reference's 14-cell
+    noise axis (clean + 13 noisy variants), reference intensities per
+    src/preprocessing/add_noise.py and SURVEY.md §2.1 C18."""
+    from wst_tpu.ops.noise import NOISE_LEVELS
+    conds = [("clean", None, 0.0)]
+    for fam in ("gaussian", "poisson", "salt_and_pepper", "speckle",
+                "uniform"):
+        for lvl in NOISE_LEVELS[fam]:
+            conds.append((f"{fam}_{lvl}", fam, float(lvl)))
+    return conds
+
+
+def condition_features(clean_u8: np.ndarray, fam, intensity: float,
+                       extractor=None, hw: int = HW, noise_seed: int = 42):
+    """Apply one reference noise condition device-side, extract hybrid
+    features.  Noise semantics match the reference's add_noise.py (uint8
+    in/out, same distributions and clip); keys are per-image
+    fold_in(seed, i)."""
+    from wst_tpu.features.extractor import FeatureExtractor
+    from wst_tpu.ops.noise import add_noise_batch
+
+    u8 = clean_u8
+    if fam is not None:
+        u8 = np.asarray(add_noise_batch(
+            noise_seed, np.arange(len(u8), dtype=np.int32), u8, fam,
+            intensity))
+    x = u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+    fx = extractor or FeatureExtractor("hybrid", hw, hw, 2, 8)
+    return fx.extract_numpy(x)
 
 
 def run_family(X, y, n_per: int, n_est: int, k: int = 10,
                seeds=range(20)):
-    """-> dict with per-seed paired test/cv accuracy diffs for one family."""
+    """-> dict with per-seed paired test/cv accuracy diffs and per-class
+    test-recall diffs for one (feature matrix, size) cell."""
     from sklearn.ensemble import RandomForestClassifier
     from sklearn.feature_selection import mutual_info_classif as sk_mi
     from sklearn.model_selection import (StratifiedKFold, cross_val_score,
                                          train_test_split)
     from sklearn.preprocessing import StandardScaler
 
-    from wst_tpu.features.selection import fit_select_kbest, top_k_indices
+    from wst_tpu.features.selection import fit_select_kbest
     from wst_tpu.models.forest import (fit_tree_ensembles,
                                        predict_tree_ensembles)
     from wst_tpu.train.splits import (stratified_kfold_indices,
                                       stratified_train_test_split)
 
-    idx = np.concatenate([np.where(y == c)[0][:n_per] for c in np.unique(y)])
+    classes = np.unique(y)
+    idx = np.concatenate([np.where(y == c)[0][:n_per] for c in classes])
     Xf, yf = X[idx], y[idx]
+    seeds = list(seeds)
 
-    # selection happens once per family in both stacks (it has no seed in
+    # selection happens once per cell in both stacks (it has no seed in
     # the reference; we fix the MI tie-noise stream to random_state=0)
     Xs_sk = StandardScaler().fit_transform(Xf)
     mi = sk_mi(Xs_sk, yf, n_neighbors=3, random_state=0)
@@ -86,36 +158,56 @@ def run_family(X, y, n_per: int, n_est: int, k: int = 10,
                                       k)
     overlap = len(set(sel) & set(model.selected_indices))
 
+    def recalls(pred, truth):
+        return np.array([(pred[truth == c] == c).mean() for c in classes])
+
+    # ---- sklearn stack, per seed (cannot batch a Cython RF) -------------
     d_test, d_cv, acc_sk_all = [], [], []
-    for s in seeds:
+    rec_sk = np.zeros((len(seeds), len(classes)))
+    splits = []
+    for si, s in enumerate(seeds):
         tr, te = train_test_split(np.arange(len(yf)), test_size=0.2,
                                   stratify=yf, random_state=s)
         rf = RandomForestClassifier(
             n_estimators=n_est, max_features="sqrt", min_samples_split=5,
             min_samples_leaf=2, random_state=s)
         rf.fit(Xsel_sk[tr], yf[tr])
-        acc_sk = rf.score(Xsel_sk[te], yf[te])
+        pred_sk = rf.predict(Xsel_sk[te])
+        acc_sk = float((pred_sk == yf[te]).mean())
+        rec_sk[si] = recalls(pred_sk, yf[te])
         cv_sk = cross_val_score(
             RandomForestClassifier(
                 n_estimators=n_est, max_features="sqrt",
                 min_samples_split=5, min_samples_leaf=2, random_state=s),
             Xsel_sk, yf,
             cv=StratifiedKFold(5, shuffle=True, random_state=s)).mean()
+        acc_sk_all.append(acc_sk)
+        splits.append((acc_sk, cv_sk))
 
+    # ---- wst_tpu stack: ALL seeds' (test + 5 folds) in one batched fit --
+    jobs, seed_vec = [], []
+    for s in seeds:
         tr2, te2 = stratified_train_test_split(yf, 0.2, s)
         folds = list(stratified_kfold_indices(yf, 5, s))
-        jobs = [(tr2, te2)] + folds
-        models = fit_tree_ensembles([Xsel_us[a] for a, _ in jobs],
-                                    [yf[a] for a, _ in jobs],
-                                    n_estimators=n_est, random_state=s)
-        preds = predict_tree_ensembles(models,
-                                       [Xsel_us[b] for _, b in jobs])
-        accs = [float((p == yf[b]).mean())
-                for p, (_, b) in zip(preds, jobs)]
+        for a, b in [(tr2, te2)] + folds:
+            jobs.append((a, b))
+            seed_vec.append(s)
+    models = fit_tree_ensembles([Xsel_us[a] for a, _ in jobs],
+                                [yf[a] for a, _ in jobs],
+                                n_estimators=n_est, random_state=seed_vec)
+    preds = predict_tree_ensembles(models, [Xsel_us[b] for _, b in jobs])
+
+    rec_us = np.zeros((len(seeds), len(classes)))
+    for si, s in enumerate(seeds):
+        p6 = preds[6 * si:6 * si + 6]
+        j6 = jobs[6 * si:6 * si + 6]
+        accs = [float((p == yf[b]).mean()) for p, (_, b) in zip(p6, j6)]
+        rec_us[si] = recalls(p6[0], yf[j6[0][1]])
+        acc_sk, cv_sk = splits[si]
         d_test.append(accs[0] - acc_sk)
         d_cv.append(np.mean(accs[1:]) - cv_sk)
-        acc_sk_all.append(acc_sk)
 
+    d_rec = rec_us - rec_sk                      # (seeds, classes)
     return {
         "n_per_class": n_per, "n_estimators": n_est, "k": k,
         "selection_overlap": overlap,
@@ -124,15 +216,16 @@ def run_family(X, y, n_per: int, n_est: int, k: int = 10,
         "d_test_std": float(np.std(d_test)),
         "d_cv_mean": float(np.mean(d_cv)),
         "d_cv_std": float(np.std(d_cv)),
-        "n_seeds": len(list(seeds)),
+        "per_class_d_test": {str(c): float(d_rec[:, j].mean())
+                             for j, c in enumerate(classes)},
+        "sk_per_class_recall": {str(c): float(rec_sk[:, j].mean())
+                                for j, c in enumerate(classes)},
+        "n_seeds": len(seeds),
     }
 
 
-SIZES = {"mini": (5, 3), "small": (15, 10), "original": (40, 50)}
-AREAS = ("assatigue", "popolar", "sunset")
-
-
 def run_all(seeds=range(20), verbose=True):
+    """Round-2 ``families`` grid (blended-gaussian regime)."""
     results = {}
     for area in AREAS:
         X, y = make_area_features(area)
@@ -148,15 +241,107 @@ def run_all(seeds=range(20), verbose=True):
     return results
 
 
+def run_suites(seeds=range(20), areas=AREAS, sizes=None, conds=None,
+               verbose=True):
+    """Six-suite grid -> {suite: {"cells": {...}, pooled deltas}}.
+
+    Every (area, condition) extracts features once at the ``original``
+    pool (40/class); sizes subset rows, mirroring how the reference's
+    mini/small/original datasets nest.
+    """
+    from wst_tpu.features.extractor import FeatureExtractor
+
+    sizes = sizes or SIZES
+    conds = conds or suite_conditions()
+    fx = FeatureExtractor("hybrid", HW, HW, 2, 8)
+    cells_by_suite = {}
+    for area in areas:
+        u8, y = _blended_images(area, HW, 40, alpha=0.4, seed=7)
+        for cond, fam, lvl in conds:
+            X = condition_features(u8, fam, lvl, extractor=fx)
+            for size, (n_per, n_est) in sizes.items():
+                r = run_family(X, y, n_per, n_est, seeds=seeds)
+                suite = fam or "clean"
+                cells_by_suite.setdefault(suite, {})[
+                    f"{cond}/{area}/{size}"] = r
+                if verbose:
+                    pc = " ".join(f"{v:+.3f}"
+                                  for v in r["per_class_d_test"].values())
+                    print(f"{cond}/{area}/{size}: "
+                          f"sk {r['sk_test_acc_mean']:.3f} "
+                          f"ovl {r['selection_overlap']}/10 "
+                          f"dcv {r['d_cv_mean']:+.4f} "
+                          f"dtest {r['d_test_mean']:+.4f} pc [{pc}]",
+                          flush=True)
+    return {suite: aggregate_suite(cells)
+            for suite, cells in cells_by_suite.items()}
+
+
+def aggregate_suite(cells: dict) -> dict:
+    """Pool one suite's cells: mean deltas + per-class pooled deltas."""
+    d_cv = [r["d_cv_mean"] for r in cells.values()]
+    d_test = [r["d_test_mean"] for r in cells.values()]
+    class_names = sorted(next(iter(cells.values()))["per_class_d_test"])
+    per_class = {c: float(np.mean([r["per_class_d_test"][c]
+                                   for r in cells.values()]))
+                 for c in class_names}
+    return {
+        "n_cells": len(cells),
+        "d_cv_pooled": float(np.mean(d_cv)),
+        "d_test_pooled": float(np.mean(d_test)),
+        "max_abs_d_cv_cell": float(np.max(np.abs(d_cv))),
+        "per_class_d_test_pooled": per_class,
+        "sk_acc_pooled": float(np.mean([r["sk_test_acc_mean"]
+                                        for r in cells.values()])),
+        "cells": cells,
+    }
+
+
+# Families whose round-2 20-seed means sat near the per-family bound —
+# re-measured at high seed count to separate bias from variance.
+BIAS_BOUND_FAMILIES = ("assatigue/small", "popolar/mini", "popolar/small")
+
+
+def run_bias_bound(n_seeds: int = 160, verbose=True):
+    """Deep-seed pass: per-family bias with a 95% CI (directive #2)."""
+    out = {}
+    feats = {}
+    for fam in BIAS_BOUND_FAMILIES:
+        area, size = fam.split("/")
+        if area not in feats:
+            feats[area] = make_area_features(area)
+        X, y = feats[area]
+        n_per, n_est = SIZES[size]
+        r = run_family(X, y, n_per, n_est, seeds=range(n_seeds))
+        # CI of the MEAN paired diff: std/sqrt(n) * 1.96
+        ci = 1.96 * r["d_cv_std"] / np.sqrt(n_seeds)
+        out[fam] = {"d_cv_mean": r["d_cv_mean"], "ci95": float(ci),
+                    "d_test_mean": r["d_test_mean"], "n_seeds": n_seeds}
+        if verbose:
+            print(f"bias {fam}: d_cv {r['d_cv_mean']:+.4f} ± {ci:.4f} "
+                  f"(95% CI, {n_seeds} seeds)", flush=True)
+    return out
+
+
 if __name__ == "__main__":
     import jax
     jax.config.update("jax_platforms", "cpu")
+
     res = run_all()
     out = {"families": res,
            "max_abs_d_test": max(abs(r["d_test_mean"]) for r in res.values()),
            "max_abs_d_cv": max(abs(r["d_cv_mean"]) for r in res.values())}
+    out["bias_bound"] = run_bias_bound()
+    suites = run_suites()
+    out["suites"] = suites
+    out["suite_summary"] = {
+        s: {"d_cv_pooled": v["d_cv_pooled"],
+            "d_test_pooled": v["d_test_pooled"],
+            "per_class_d_test_pooled": v["per_class_d_test_pooled"]}
+        for s, v in suites.items()}
     os.makedirs("reports", exist_ok=True)
     with open("reports/PARITY.json", "w") as f:
         json.dump(out, f, indent=2)
-    print(json.dumps({k: out[k] for k in
-                      ("max_abs_d_test", "max_abs_d_cv")}))
+    print(json.dumps({"max_abs_d_test": out["max_abs_d_test"],
+                      "max_abs_d_cv": out["max_abs_d_cv"],
+                      "suite_summary": out["suite_summary"]}))

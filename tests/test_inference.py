@@ -178,3 +178,41 @@ def test_corpus_hybrid_quirk_permutes_wst_block():
     assert Xq[0, 54] == X[0, 54]          # mean_0 stays first
     assert Xq[0, 55] == X[0, 54 + 81]     # std_0 moves next to it
     assert sorted(Xq[0]) == sorted(X[0])  # a pure permutation
+
+
+def test_export_joblib_bidirectional_interop(trained_cell):
+    """A wst_tpu-trained cell exports to the reference's joblib trio
+    (stock sklearn RandomForestClassifier / StandardScaler / SelectKBest)
+    and the reference's composed loading contract
+    (scaler.transform -> selector.transform -> model.predict;
+    reference: src/inference/inference.py:126-161, 289-320) reproduces the
+    native predictions exactly.  The reference script itself cannot be
+    imported here (it imports kymatio at module load), so its artifact and
+    compose contracts are exercised directly."""
+    import joblib
+
+    from wst_tpu.utils.artifacts import export_joblib, load_artifacts
+
+    _, cell = trained_cell
+    model, selection = load_artifacts(cell)
+    paths = export_joblib(cell)
+
+    rf = joblib.load(paths["trained_model.joblib"])
+    scaler = joblib.load(paths["scaler.joblib"])
+    selector = joblib.load(paths["feature_selector.joblib"])
+    with open(os.path.join(cell, "feature_names.json")) as fp:
+        feature_info = json.load(fp)
+    assert feature_info["selected_features"] == selection.selected_features
+    assert list(rf.classes_) == list(model.classes_)
+    assert np.array_equal(selector.get_support(indices=True),
+                          selection.selected_indices)
+
+    rng = np.random.default_rng(7)
+    Xq = rng.normal(size=(100, len(selection.feature_names)))
+    ours = model.predict(selection.transform(Xq))
+    ref = rf.predict(selector.transform(scaler.transform(Xq)))
+    np.testing.assert_array_equal(ours, ref)
+    np.testing.assert_allclose(
+        model.predict_proba(selection.transform(Xq)),
+        rf.predict_proba(selector.transform(scaler.transform(Xq))),
+        atol=1e-6)

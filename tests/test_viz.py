@@ -22,21 +22,23 @@ def test_patterns():
 
 
 def test_full_visualization_flow(tmp_path):
-    pats = generate_test_patterns(32)
-    subset = {k: pats[k] for k in ["checkerboard", "edge"]}
-    for name, p in subset.items():
-        assert visualize_advanced_stats(p, name, tmp_path)
-        assert visualize_wst(p, name, tmp_path)
-        assert create_comparison_dashboard(p, name, tmp_path)
-    assert create_overall_comparison(subset, tmp_path)
-    present, missing = verify_output(tmp_path, sorted(subset))
+    """main() emits the COMPLETE expected set: 4 figures x 7 patterns +
+    overall + the clean-vs-noisy comparison pair = 31 files — a superset
+    of the reference verifier's 4/pattern + 1 = 29-file contract
+    (reference: src/visualization/verify_output.py:23-27)."""
+    from wst_tpu.viz.visualize import main
+    rc = main(["-o", str(tmp_path), "--size", "32"])
+    assert rc == 0
+    present, missing = verify_output(tmp_path)
     assert missing == []
-    assert len(present) == 1 + 3 * 2
+    assert len(present) == 4 * 7 + 3 == 31
+    assert (tmp_path / "original_checkerboard.png").exists()
+    assert (tmp_path / "wst_disks_checkerboard_g50.png").exists()
 
 
 def test_verify_reports_missing(tmp_path):
     present, missing = verify_output(tmp_path, ["checkerboard"])
-    assert present == [] and len(missing) == 4
+    assert present == [] and len(missing) == 4 + 3
 
 
 def test_compare_wst_coefficients(tmp_path, rng):

@@ -220,20 +220,22 @@ def _fit_forest_cells(binned, thr, nthr, y, *, n_trees, n_classes,
                       max_depth, max_active, max_nodes, bootstrap, seed):
     """Fit M independent same-shape forests in ONE device dispatch.
 
-    binned: (M, n, F) int32; thr: (M, F, B-1); nthr: (M, F); y: (M, n).
+    binned: (M, n, F) int32; thr: (M, F, B-1); nthr: (M, F); y: (M, n);
+    seed: (M,) int32 per-cell random states (traced, so cells with
+    different seeds — e.g. one CV sweep per seed — share one dispatch).
     Returns per-cell node tables with a leading M axis — each cell's fit is
-    numerically identical to a solo ``_fit_forest`` call (vmap of the same
-    deterministic program with the same per-tree keys).  This is what makes
-    the 1,512-cell factorial grid dispatch-count-bound rather than
-    tunnel-latency-bound.
+    numerically identical to a solo ``_fit_forest`` call with that cell's
+    seed (vmap of the same deterministic program with the same per-tree
+    keys).  This is what makes the 1,512-cell factorial grid
+    dispatch-count-bound rather than tunnel-latency-bound.
     """
-    def one(b, t, nt, yy):
+    def one(b, t, nt, yy, s):
         return _fit_forest_impl(
-            b, t, nt, yy, seed, n_trees=n_trees, n_classes=n_classes,
+            b, t, nt, yy, s, n_trees=n_trees, n_classes=n_classes,
             max_features=max_features, min_samples_split=min_samples_split,
             min_samples_leaf=min_samples_leaf, max_depth=max_depth,
             max_active=max_active, max_nodes=max_nodes, bootstrap=bootstrap)
-    return jax.vmap(one)(binned, thr, nthr, y)
+    return jax.vmap(one)(binned, thr, nthr, y, seed)
 
 
 @functools.partial(jax.jit, static_argnames=_FIT_STATICS)
@@ -453,9 +455,19 @@ def fit_tree_ensembles(Xs, ys, n_estimators: int = 50,
     objects identical to fitting each (X, y) separately with the same
     hyperparameters.  Cells whose label sets differ in size fall back to
     per-cell fits (class-count is a static shape).
+
+    ``random_state`` may be an int (shared by all cells, the grid runner's
+    mode) or a length-M sequence of per-cell seeds — e.g. one
+    (test-split + 5 CV folds) sweep per seed, all in one dispatch, which is
+    what makes many-seed parity harnesses tractable.
     """
     M = len(Xs)
     assert M == len(ys) and M > 0
+    if np.ndim(random_state) == 0:
+        seeds = np.full(M, int(random_state), np.int32)
+    else:
+        seeds = np.asarray(random_state, np.int32)
+        assert seeds.shape == (M,), seeds.shape
     shapes = {np.asarray(X).shape for X in Xs}
     classes = [np.unique(np.asarray(y)) for y in ys]
     same_c = len({len(c) for c in classes}) == 1
@@ -466,7 +478,7 @@ def fit_tree_ensembles(Xs, ys, n_estimators: int = 50,
             min_samples_split=min_samples_split,
             min_samples_leaf=min_samples_leaf, max_depth=max_depth,
             max_bins=max_bins, max_active=max_active, bootstrap=bootstrap,
-            random_state=random_state)
+            random_state=int(seeds[i]))
         return m.fit(Xs[i], ys[i])
 
     if len(shapes) != 1 or not same_c:
@@ -529,7 +541,7 @@ def fit_tree_ensembles(Xs, ys, n_estimators: int = 50,
             min_samples_split=min_samples_split,
             min_samples_leaf=min_samples_leaf, max_depth=depth,
             max_active=active_cap, max_nodes=max_nodes,
-            bootstrap=bootstrap, seed=random_state)
+            bootstrap=bootstrap, seed=jnp.asarray(padded(seeds)))
         parts.append([np.asarray(a)[:hi - lo] for a in fitted])
     fitted = [np.concatenate([p[j] for p in parts], axis=0)
               for j in range(len(parts[0]))]           # each (M, T, ...)
@@ -541,7 +553,7 @@ def fit_tree_ensembles(Xs, ys, n_estimators: int = 50,
             min_samples_split=min_samples_split,
             min_samples_leaf=min_samples_leaf, max_depth=max_depth,
             max_bins=max_bins, max_active=max_active, bootstrap=bootstrap,
-            random_state=random_state)
+            random_state=int(seeds[i]))
         m.classes_ = classes[i]
         m.forest_ = ForestArrays(*[a[i] for a in fitted])
         m.max_depth_used_ = depth

@@ -233,3 +233,144 @@ def load_any_artifacts(model_dir, artifact_format: str = "auto"):
     raise FileNotFoundError(
         f"{model_dir!r} contains neither {MODEL_NAME} nor the joblib trio "
         f"({JOBLIB_MODEL_NAME}, {JOBLIB_SCALER_NAME}, {JOBLIB_SELECTOR_NAME})")
+
+
+# ---------------------------------------------------------------------------
+# Reference joblib bundle EXPORT: convert a wst_tpu NPZ cell into the
+# reference's sklearn artifact trio so the reference's own inference.py
+# (reference: src/inference/inference.py:126-161) can consume models trained
+# here — true stock-sklearn objects, no wst_tpu import needed to unpickle.
+# ---------------------------------------------------------------------------
+
+def _sklearn_node_dtype():
+    """The Cython Tree node record dtype of the installed sklearn."""
+    from sklearn.tree import DecisionTreeClassifier
+    t = DecisionTreeClassifier(max_depth=1).fit([[0.0], [1.0]], [0, 1])
+    return t.tree_.__getstate__()["nodes"].dtype
+
+
+def _sklearn_tree(feature, threshold, left, right, is_leaf, probs,
+                  n_features: int, classes, node_dtype):
+    """One wst_tpu node table -> a fitted sklearn DecisionTreeClassifier.
+
+    Reachable nodes are compacted BFS-first; traversal semantics match
+    (x[feature] <= threshold -> left).  Leaf ``values`` carry the stored
+    class probabilities (already normalized), which is exactly what
+    sklearn's predict_proba consumes.
+    """
+    from sklearn.tree import DecisionTreeClassifier
+    from sklearn.tree._tree import Tree
+
+    C = probs.shape[1]
+    order, depth_of = [0], {0: 0}
+    head = 0
+    while head < len(order):
+        nid = order[head]
+        head += 1
+        if not is_leaf[nid]:
+            for ch in (int(left[nid]), int(right[nid])):
+                depth_of[ch] = depth_of[nid] + 1
+                order.append(ch)
+    remap = {old: new for new, old in enumerate(order)}
+
+    nodes = np.zeros(len(order), dtype=node_dtype)
+    values = np.zeros((len(order), 1, C), np.float64)
+    for new, old in enumerate(order):
+        p = probs[old].astype(np.float64)
+        values[new, 0] = p
+        gini = float(1.0 - np.sum(p * p))
+        if is_leaf[old]:
+            nodes[new] = (-1, -1, -2, -2.0, gini, 1, 1.0, 0)
+        else:
+            nodes[new] = (remap[int(left[old])], remap[int(right[old])],
+                          int(feature[old]), float(threshold[old]),
+                          gini, 1, 1.0, 0)
+
+    tree = Tree(n_features, np.asarray([C], dtype=np.intp), 1)
+    tree.__setstate__({"max_depth": max(depth_of.values()),
+                       "node_count": len(order),
+                       "nodes": nodes, "values": values})
+    clf = DecisionTreeClassifier()
+    clf.tree_ = tree
+    clf.classes_ = np.asarray(classes)
+    clf.n_classes_ = C
+    clf.n_outputs_ = 1
+    clf.n_features_in_ = n_features
+    return clf
+
+
+def forest_to_sklearn(model: TreeEnsembleClassifier, n_features: int):
+    """wst_tpu TreeEnsembleClassifier -> stock sklearn RandomForestClassifier
+    with identical predict/predict_proba (same trees, same `<=` rule, same
+    probability averaging)."""
+    from sklearn.ensemble import RandomForestClassifier
+
+    f = model.forest_
+    dtype = _sklearn_node_dtype()
+    ests = [_sklearn_tree(f.feature[t], f.threshold[t], f.left[t],
+                          f.right[t], f.is_leaf[t], f.probs[t],
+                          n_features, model.classes_, dtype)
+            for t in range(f.feature.shape[0])]
+    rf = RandomForestClassifier(
+        n_estimators=len(ests), max_features="sqrt",
+        min_samples_split=model.min_samples_split,
+        min_samples_leaf=model.min_samples_leaf,
+        random_state=model.random_state)
+    rf.estimators_ = ests
+    rf.classes_ = np.asarray(model.classes_)
+    rf.n_classes_ = len(rf.classes_)
+    rf.n_outputs_ = 1
+    rf.n_features_in_ = n_features
+    return rf
+
+
+def export_joblib(model_dir, out_dir=None) -> dict:
+    """Export a wst_tpu NPZ/JSON cell as the reference's joblib trio.
+
+    Writes trained_model.joblib / scaler.joblib / feature_selector.joblib
+    (stock sklearn RandomForestClassifier / StandardScaler / SelectKBest)
+    next to the native artifacts (or into ``out_dir``), making the cell
+    consumable by the reference's inference.py:126-161 without wst_tpu
+    installed.  feature_names.json (already written by save_artifacts)
+    completes the reference's expected file set.  Returns the written paths.
+    """
+    import joblib
+    from sklearn.feature_selection import SelectKBest
+    from sklearn.preprocessing import StandardScaler
+
+    model, selection = load_artifacts(model_dir)
+    out_dir = out_dir or model_dir
+    os.makedirs(out_dir, exist_ok=True)
+    F = len(selection.scores)
+    k = len(selection.selected_indices)
+
+    scaler = StandardScaler()
+    scaler.mean_ = np.asarray(selection.scaler.mean, np.float64)
+    scaler.scale_ = np.asarray(selection.scaler.scale, np.float64)
+    scaler.var_ = scaler.scale_ ** 2
+    scaler.n_features_in_ = F
+    scaler.n_samples_seen_ = np.int64(1)
+
+    selector = SelectKBest(k=k)
+    selector.scores_ = np.asarray(selection.scores, np.float64)
+    selector.pvalues_ = None
+    selector.n_features_in_ = F
+    got = np.sort(np.argsort(selector.scores_, kind="mergesort")[-k:])
+    assert np.array_equal(got, np.sort(selection.selected_indices)), (
+        "SelectKBest support from stored scores disagrees with the "
+        "selected indices — scores and indices are inconsistent")
+
+    rf = forest_to_sklearn(model, n_features=k)
+
+    paths = {}
+    for name, obj in ((JOBLIB_MODEL_NAME, rf), (JOBLIB_SCALER_NAME, scaler),
+                      (JOBLIB_SELECTOR_NAME, selector)):
+        p = os.path.join(out_dir, name)
+        joblib.dump(obj, p)
+        paths[name] = p
+    if out_dir != model_dir:
+        names_src = os.path.join(model_dir, FEATURES_NAME)
+        if os.path.exists(names_src):
+            import shutil
+            shutil.copy(names_src, os.path.join(out_dir, FEATURES_NAME))
+    return paths

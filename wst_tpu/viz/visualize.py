@@ -66,6 +66,22 @@ def _gray_stats(pattern: np.ndarray) -> np.ndarray:
     return np.asarray(advanced_stats(x))[0]
 
 
+def visualize_original(pattern: np.ndarray, name: str, output_dir) -> str:
+    """Plain rendering of the input pattern — the reference emits one
+    ``{pattern}_original.png`` per pattern and its verifier requires it
+    (reference: src/visualization/verify_output.py:23-25)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(5, 5))
+    ax.imshow(pattern, cmap="gray")
+    ax.set_title(name)
+    ax.axis("off")
+    fig.tight_layout()
+    path = Path(output_dir) / f"original_{name}.png"
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return str(path)
+
+
 def visualize_advanced_stats(pattern: np.ndarray, name: str,
                              output_dir) -> str:
     plt = _plt()
@@ -362,10 +378,15 @@ def compare_wst_disks(clean: np.ndarray, noisy: np.ndarray, output_dir,
 # ---------------------------------------------------------------------------
 
 def expected_outputs(pattern_names: List[str]) -> List[str]:
-    out = ["overall_comparison.png"]
+    """4 figures per pattern + overall + the clean-vs-noisy pair — a
+    superset of the reference's 4/pattern + 1 = 29-file contract
+    (reference: src/visualization/verify_output.py:23-27)."""
+    out = ["overall_comparison.png",
+           "wst_compare_checkerboard_g50.png",
+           "wst_disks_checkerboard_g50.png"]
     for n in pattern_names:
-        out += [f"advanced_stats_{n}.png", f"wst_{n}.png",
-                f"comparison_{n}.png"]
+        out += [f"original_{n}.png", f"advanced_stats_{n}.png",
+                f"wst_{n}.png", f"comparison_{n}.png"]
     return out
 
 
@@ -403,17 +424,21 @@ def main(argv=None):
 
     out.mkdir(parents=True, exist_ok=True)
     for name, pat in patterns.items():
+        visualize_original(pat, name, out)
         visualize_advanced_stats(pat, name, out)
         visualize_wst(pat, name, out)
         create_comparison_dashboard(pat, name, out)
     create_overall_comparison(patterns, out)
-    # clean-vs-noisy comparison on the checkerboard pattern
+    # clean-vs-noisy comparison + polar scattering disks (C20) on the
+    # checkerboard pattern
     rng = np.random.default_rng(0)
     noisy = np.clip(patterns["checkerboard"]
                     + rng.normal(0, 0.5 * 0.3, patterns["checkerboard"].shape),
                     0, 1).astype(np.float32)
     compare_wst_coefficients(patterns["checkerboard"][:32, :32],
                              noisy[:32, :32], out, name="checkerboard_g50")
+    compare_wst_disks(patterns["checkerboard"][:32, :32],
+                      noisy[:32, :32], out, name="checkerboard_g50")
     _, missing = verify_output(out, sorted(patterns))
     print(f"Visualizations written to {out}")
     return 1 if missing else 0
