@@ -22,8 +22,10 @@ def _dataset(rng, n=60, f=30, informative=6):
 def test_scaler_matches_sklearn(rng):
     X, _ = _dataset(rng)
     params, Xs = fit_standard_scaler(X)
-    want = StandardScaler().fit_transform(X)
-    np.testing.assert_allclose(Xs, want, atol=1e-12)
+    ss = StandardScaler().fit(X)
+    np.testing.assert_array_equal(Xs, ss.transform(X))   # bitwise
+    np.testing.assert_array_equal(params.mean, ss.mean_)
+    np.testing.assert_array_equal(params.scale, ss.scale_)
     # zero-variance column -> scale 1 (sklearn behavior)
     Xz = np.hstack([X, np.full((X.shape[0], 1), 3.0)])
     p2, Xs2 = fit_standard_scaler(Xz)

@@ -54,10 +54,29 @@ class ScalerParams:
 
 
 def fit_standard_scaler(X: np.ndarray) -> Tuple[ScalerParams, np.ndarray]:
+    """Bit-faithful replication of sklearn's ``StandardScaler`` fit.
+
+    sklearn computes the variance with the Chan/Golub/LeVeque corrected
+    two-pass update (``_incremental_mean_and_var``) and flags
+    "indistinguishable from constant" columns via the algorithm's error
+    bound (``_is_constant_feature``) — both differ from a naive
+    ``X.std(axis=0)`` by ~1 ulp, which matters because the downstream MI
+    estimator amplifies ulp input differences into m-count tie flips.
+    Reproducing the exact arithmetic keeps the standardized matrix — and
+    therefore feature selection — byte-identical between the two stacks.
+    """
     X = np.asarray(X, np.float64)
-    mean = X.mean(axis=0)
-    std = X.std(axis=0)
-    scale = np.where(std == 0.0, 1.0, std)
+    n = X.shape[0]
+    new_sum = np.sum(X, axis=0)
+    mean = new_sum / n
+    temp = X - new_sum / n
+    correction = np.sum(temp, axis=0)
+    temp **= 2
+    var = (np.sum(temp, axis=0) - correction ** 2 / n) / n
+    eps = np.finfo(np.float64).eps
+    constant_mask = var <= n * eps * var + (n * mean * eps) ** 2
+    scale = np.sqrt(var)
+    scale[constant_mask] = 1.0
     params = ScalerParams(mean=mean, scale=scale)
     return params, (X - mean) / scale
 
