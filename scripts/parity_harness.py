@@ -91,7 +91,10 @@ def make_area_features(area: str, hw: int = HW, n_per: int = 40,
     x = np.clip(x + rng.normal(0, sigma / 255, x.shape).astype(np.float32),
                 0, 1)
     fx = FeatureExtractor("hybrid", hw, hw, 2, 8)
-    return fx.extract_numpy(x), y
+    # float64 like the reference's feature matrices (np.array of python
+    # lists): keeps BOTH stacks' scalers in float64, where the selection
+    # chain is bitwise-identical.
+    return fx.extract_numpy(x).astype(np.float64), y
 
 
 def suite_conditions():
@@ -123,7 +126,7 @@ def condition_features(clean_u8: np.ndarray, fam, intensity: float,
             intensity))
     x = u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
     fx = extractor or FeatureExtractor("hybrid", hw, hw, 2, 8)
-    return fx.extract_numpy(x)
+    return fx.extract_numpy(x).astype(np.float64)  # reference float64 regime
 
 
 def run_family(X, y, n_per: int, n_est: int, k: int = 10,

@@ -325,16 +325,34 @@ def _fit_forest_impl(binned, thr, nthr, y, seed, *, n_trees, n_classes,
                      + jnp.sum(rw * rw, axis=-1) / jnp.maximum(nr, 1e-12))
             ok = ((cp >= min_samples_leaf) & (rp >= min_samples_leaf)
                   & valid_thr[None])
-            # Per-node random feature subset of size max_features.
+            # Per-node random feature subset of size max_features, with
+            # sklearn's two semantics that matter at science-dataset scale
+            # (measured: they account for a per-family CV bias up to ~0.07
+            # on correlated WST features):
+            # 1. Features CONSTANT within the node do not consume the
+            #    max_features budget (sklearn's splitter skips them in its
+            #    Fisher-Yates scan without counting them) — so the subset
+            #    is the max_features smallest u among non-constant features.
+            # 2. Ties across features break by VISIT ORDER (first strictly
+            #    better wins), and the visit order IS the subsample draw —
+            #    so among equal-proxy features the smallest u wins, exactly
+            #    sklearn's uniform-among-ties distribution, not a fixed
+            #    lowest-index preference.  Within a feature sklearn keeps
+            #    the LOWEST tied threshold (strict-improvement scan in
+            #    increasing order), which argmax's first-max matches.
             u = jax.random.uniform(ksub, (max_active, F))
-            kth = jnp.sort(u, axis=1)[:, max_features - 1]
-            fmask = u <= kth[:, None]                        # (K, F)
+            nonconst = jnp.sum((phist > 0).astype(jnp.int32), axis=2) >= 2
+            u_eff = jnp.where(nonconst, u, jnp.inf)          # (K, F)
+            kth = jnp.sort(u_eff, axis=1)[:, max_features - 1]
+            fmask = u_eff <= kth[:, None]                    # (K, F)
             score = jnp.where(ok & fmask[:, :, None], proxy, -jnp.inf)
-            flat = score.reshape(max_active, F * (B - 1))
-            best = jnp.argmax(flat, axis=1)
-            best_gain = jnp.take_along_axis(flat, best[:, None], 1)[:, 0]
-            best_f = best // (B - 1)
-            best_b = best % (B - 1)
+            feat_best = jnp.max(score, axis=2)               # (K, F)
+            best_gain = jnp.max(feat_best, axis=1)           # (K,)
+            tied = feat_best == best_gain[:, None]
+            best_f = jnp.argmin(jnp.where(tied, u, jnp.inf), axis=1)
+            best_b = jnp.argmax(
+                jnp.take_along_axis(score, best_f[:, None, None],
+                                    axis=1)[:, 0, :], axis=1)
 
             # Total class weights / presence of each node (feature 0's
             # histogram sums over bins to the node totals).
