@@ -19,18 +19,22 @@ Design (component D5 of SURVEY.md §2.2):
   counts, and the Gini proxy argmax picks the split.  No data-dependent
   Python control flow — the whole fit is one XLA computation.
 * sklearn-faithful bootstrap semantics: each tree draws n samples with
-  replacement, realised as integer sample weights; ALL samples are routed
-  through the tree.  Gini/leaf probabilities use bootstrap weights while
-  ``min_samples_split``/``min_samples_leaf`` are enforced on unweighted
-  presence counts — exactly sklearn's behaviour with weight-0 samples.
+  replacement, realised as integer sample weights.  sklearn's splitter
+  DROPS zero-weight samples from its sample list at init, so
+  ``min_samples_split``/``min_samples_leaf``, candidate thresholds, and
+  constant-feature detection all see only the IN-BAG draw — reproduced
+  here by counting presence as ``w > 0`` (out-of-bag rows still route
+  through the finished tree at predict time, as in sklearn).
 * Per-node feature subsampling: ``max_features`` features drawn per node
-  (random top-k trick).  Unlike sklearn we do not keep drawing extra
-  features when a drawn one is constant in the node; with continuous
-  standardized features this is an immeasurable difference.
-* Thresholds are midpoints between adjacent occupied global bins (sklearn
-  uses midpoints between adjacent node-local values; the induced training
-  partition is identical — only test points falling inside the skipped
-  value gap can route differently).
+  (random top-k trick), with sklearn's exact semantics: node-constant
+  features do not consume the max_features budget, and equal-proxy ties
+  across features break by the random visit order (the subsample draw
+  doubles as the priority) — matching the Cython splitter's
+  first-strict-improvement scan in distribution.
+* Thresholds reproduce sklearn's max-margin rule: the midpoint of the two
+  values ADJACENT WITHIN THE NODE around the chosen boundary (computed
+  from per-bin value extrema), identical to sklearn's
+  (Xf[p_prev] + Xf[p]) / 2 whenever bins are exact (n <= max_bins).
 
 Prediction is a vectorized pointer chase over (tree, sample), averaged into
 sklearn-compatible ``predict_proba`` (ties -> lowest class index).
@@ -102,17 +106,26 @@ def _active_cap(max_active: int, n: int, min_samples_leaf: int) -> int:
 
 
 def _bin_features(X: np.ndarray, max_bins: int
-                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Quantile binning. Returns (binned (n,F) int32, thresholds (F, max_bins-1)
-    float32 padded with +inf, n_thresholds (F,) int32).
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                             np.ndarray, np.ndarray]:
+    """Quantile binning. Returns (binned (n,F) int32, thresholds
+    (F, max_bins-1) float32 padded with +inf, n_thresholds (F,) int32,
+    vmin (F, max_bins) float32, vmax (F, max_bins) float32).
 
     bin b collects values in (thr[b-1], thr[b]]-style intervals:
     binned = searchsorted(thr, x, side='left') so x <= thr[b] -> bin <= b.
+    vmin/vmax give each bin's smallest/largest data value so the kernel can
+    place the chosen split at the midpoint of the two values ADJACENT
+    WITHIN THE NODE (sklearn's max-margin threshold) rather than at a
+    global bin boundary; when n <= max_bins every bin is a single unique
+    value and the reproduction is exact.
     """
     n, F = X.shape
     thr = np.full((F, max_bins - 1), np.inf, np.float32)
     nthr = np.zeros(F, np.int32)
     binned = np.zeros((n, F), np.int32)
+    vmin = np.full((F, max_bins), np.float32(np.inf), np.float32)
+    vmax = np.full((F, max_bins), np.float32(-np.inf), np.float32)
     for f in range(F):
         u = np.unique(X[:, f])
         if len(u) > max_bins:
@@ -122,8 +135,12 @@ def _bin_features(X: np.ndarray, max_bins: int
         k = len(mids)
         thr[f, :k] = mids
         nthr[f] = k
-        binned[:, f] = np.searchsorted(mids, X[:, f], side="left")
-    return binned, thr, nthr
+        b = np.searchsorted(mids, X[:, f], side="left")
+        binned[:, f] = b
+        xf = X[:, f].astype(np.float32)
+        np.minimum.at(vmin[f], b, xf)
+        np.maximum.at(vmax[f], b, xf)
+    return binned, thr, nthr, vmin, vmax
 
 
 class TreeEnsembleClassifier:
@@ -162,7 +179,7 @@ class TreeEnsembleClassifier:
         else:
             mf = max(1, int(self.max_features))
         max_bins = min(self.max_bins, max(2, n + 1))
-        binned, thr, nthr = _bin_features(X, max_bins)
+        binned, thr, nthr, vmin, vmax = _bin_features(X, max_bins)
 
         depth = min(self.max_depth, max(1, n // self.min_samples_leaf))
         max_nodes = 2 * min(2 ** depth, max(n, 2)) + 1
@@ -170,6 +187,7 @@ class TreeEnsembleClassifier:
 
         fitted = _fit_forest(
             jnp.asarray(binned), jnp.asarray(thr), jnp.asarray(nthr),
+            jnp.asarray(vmin), jnp.asarray(vmax),
             jnp.asarray(y_enc, jnp.int32),
             n_trees=self.n_estimators, n_classes=C, max_features=mf,
             min_samples_split=self.min_samples_split,
@@ -215,12 +233,14 @@ _FIT_STATICS = ("n_trees", "n_classes", "max_features",
 
 
 @functools.partial(jax.jit, static_argnames=_FIT_STATICS)
-def _fit_forest_cells(binned, thr, nthr, y, *, n_trees, n_classes,
-                      max_features, min_samples_split, min_samples_leaf,
-                      max_depth, max_active, max_nodes, bootstrap, seed):
+def _fit_forest_cells(binned, thr, nthr, vmin, vmax, y, *, n_trees,
+                      n_classes, max_features, min_samples_split,
+                      min_samples_leaf, max_depth, max_active, max_nodes,
+                      bootstrap, seed):
     """Fit M independent same-shape forests in ONE device dispatch.
 
-    binned: (M, n, F) int32; thr: (M, F, B-1); nthr: (M, F); y: (M, n);
+    binned: (M, n, F) int32; thr: (M, F, B-1); nthr: (M, F);
+    vmin/vmax: (M, F, B) per-bin value extrema; y: (M, n);
     seed: (M,) int32 per-cell random states (traced, so cells with
     different seeds — e.g. one CV sweep per seed — share one dispatch).
     Returns per-cell node tables with a leading M axis — each cell's fit is
@@ -229,29 +249,31 @@ def _fit_forest_cells(binned, thr, nthr, y, *, n_trees, n_classes,
     keys).  This is what makes the 1,512-cell factorial grid
     dispatch-count-bound rather than tunnel-latency-bound.
     """
-    def one(b, t, nt, yy, s):
+    def one(b, t, nt, vmn, vmx, yy, s):
         return _fit_forest_impl(
-            b, t, nt, yy, s, n_trees=n_trees, n_classes=n_classes,
+            b, t, nt, vmn, vmx, yy, s, n_trees=n_trees, n_classes=n_classes,
             max_features=max_features, min_samples_split=min_samples_split,
             min_samples_leaf=min_samples_leaf, max_depth=max_depth,
             max_active=max_active, max_nodes=max_nodes, bootstrap=bootstrap)
-    return jax.vmap(one)(binned, thr, nthr, y, seed)
+    return jax.vmap(one)(binned, thr, nthr, vmin, vmax, y, seed)
 
 
 @functools.partial(jax.jit, static_argnames=_FIT_STATICS)
-def _fit_forest(binned, thr, nthr, y, *, n_trees, n_classes, max_features,
-                min_samples_split, min_samples_leaf, max_depth, max_active,
-                max_nodes, bootstrap, seed):
+def _fit_forest(binned, thr, nthr, vmin, vmax, y, *, n_trees, n_classes,
+                max_features, min_samples_split, min_samples_leaf,
+                max_depth, max_active, max_nodes, bootstrap, seed):
     return _fit_forest_impl(
-        binned, thr, nthr, y, seed, n_trees=n_trees, n_classes=n_classes,
+        binned, thr, nthr, vmin, vmax, y, seed, n_trees=n_trees,
+        n_classes=n_classes,
         max_features=max_features, min_samples_split=min_samples_split,
         min_samples_leaf=min_samples_leaf, max_depth=max_depth,
         max_active=max_active, max_nodes=max_nodes, bootstrap=bootstrap)
 
 
-def _fit_forest_impl(binned, thr, nthr, y, seed, *, n_trees, n_classes,
-                     max_features, min_samples_split, min_samples_leaf,
-                     max_depth, max_active, max_nodes, bootstrap):
+def _fit_forest_impl(binned, thr, nthr, vmin, vmax, y, seed, *, n_trees,
+                     n_classes, max_features, min_samples_split,
+                     min_samples_leaf, max_depth, max_active, max_nodes,
+                     bootstrap):
     n, F = binned.shape
     B = thr.shape[1] + 1                       # bins per feature
     onehot = jax.nn.one_hot(y, n_classes, dtype=jnp.float32)   # (n, C)
@@ -302,8 +324,14 @@ def _fit_forest_impl(binned, thr, nthr, y, seed, *, n_trees, n_classes,
                              + jax.lax.broadcasted_iota(jnp.int32, (n, F), 1))
                             * B + binned,
                             max_active * F * B)              # (n, F)
+            # Presence column counts IN-BAG samples only: sklearn's
+            # splitter drops zero-weight samples from its sample list at
+            # init (verified: n_node_samples counts only w > 0 rows), so
+            # min_samples_split/leaf, candidate thresholds, and
+            # constant-feature detection all see just the bootstrap draw.
             data = jnp.concatenate(
-                [onehot * w[:, None], jnp.ones((n, 1), jnp.float32)], axis=1)
+                [onehot * w[:, None],
+                 (w > 0.0).astype(jnp.float32)[:, None]], axis=1)
             data = jnp.broadcast_to(data[:, None, :], (n, F, n_classes + 1))
             hist = jax.ops.segment_sum(
                 data.reshape(n * F, n_classes + 1), seg.reshape(n * F),
@@ -323,7 +351,16 @@ def _fit_forest_impl(binned, thr, nthr, y, seed, *, n_trees, n_classes,
             # Gini proxy to maximize: sum_c l_c^2/n_l + sum_c r_c^2/n_r.
             proxy = (jnp.sum(cw * cw, axis=-1) / jnp.maximum(nl, 1e-12)
                      + jnp.sum(rw * rw, axis=-1) / jnp.maximum(nr, 1e-12))
+            # Both children must carry bootstrap WEIGHT: sklearn's proxy
+            # for a zero-weight side is 0/0 = NaN in C, which never beats
+            # the running best — i.e. such candidates are silently skipped.
+            # Without this mask a degenerate split (all weight one side)
+            # ties the parent's proxy, can win the tie-break, and creates a
+            # zero-weight leaf whose all-zero probability vector poisons
+            # test predictions (measured: -0.03 single-tree accuracy vs
+            # sklearn under identical bootstrap weights).
             ok = ((cp >= min_samples_leaf) & (rp >= min_samples_leaf)
+                  & (nl > 0.0) & (nr > 0.0)
                   & valid_thr[None])
             # Per-node random feature subset of size max_features, with
             # sklearn's two semantics that matter at science-dataset scale
@@ -378,7 +415,25 @@ def _fit_forest_impl(binned, thr, nthr, y, seed, *, n_trees, n_classes,
             # Write node table entries for the frontier.
             safe_nodes = jnp.where(frontier >= 0, frontier, max_nodes - 1)
             write = frontier >= 0
-            sel_thr = thr[best_f, best_b]
+            # sklearn's max-margin threshold: midpoint of the two values
+            # ADJACENT WITHIN THE NODE around the chosen boundary (its
+            # splitter computes (Xf[p_prev] + Xf[p]) / 2 over node values,
+            # falling back to the left value when the midpoint rounds up).
+            # All bins in an equal-proxy run share one (occL, occR) pair,
+            # so the reproduction is independent of which tied bin won.
+            ph = jnp.take_along_axis(phist, best_f[:, None, None],
+                                     axis=1)[:, 0, :]       # (K, B)
+            occ = ph > 0
+            bb2 = jax.lax.broadcasted_iota(jnp.int32, (max_active, B), 1)
+            occL = jnp.max(jnp.where(occ & (bb2 <= best_b[:, None]),
+                                     bb2, -1), axis=1)
+            occR = jnp.min(jnp.where(occ & (bb2 > best_b[:, None]),
+                                     bb2, B), axis=1)
+            vl = vmax[best_f, jnp.clip(occL, 0, B - 1)]
+            vr = vmin[best_f, jnp.clip(occR, 0, B - 1)]
+            sel_thr = (vl + vr) * jnp.float32(0.5)
+            sel_thr = jnp.where(jnp.isfinite(sel_thr) & (sel_thr != vr),
+                                sel_thr, vl)
             feature = feature.at[safe_nodes].set(
                 jnp.where(write, jnp.where(do_split, best_f, 0),
                           feature[safe_nodes]))
@@ -518,11 +573,14 @@ def fit_tree_ensembles(Xs, ys, n_estimators: int = 50,
     binned = np.zeros((M, n, F), np.int32)
     thr = np.zeros((M, F, max_bins_eff - 1), np.float32)
     nthr = np.zeros((M, F), np.int32)
+    vmin = np.zeros((M, F, max_bins_eff), np.float32)
+    vmax = np.zeros((M, F, max_bins_eff), np.float32)
     y_enc = np.zeros((M, n), np.int32)
     for i in range(M):
         X = np.asarray(Xs[i], np.float32)
         _, y_enc[i] = np.unique(np.asarray(ys[i]), return_inverse=True)
-        binned[i], thr[i], nthr[i] = _bin_features(X, max_bins_eff)
+        binned[i], thr[i], nthr[i], vmin[i], vmax[i] = _bin_features(
+            X, max_bins_eff)
 
     # The split search materializes an (M, trees, active, F, bins, C+1)
     # histogram plus a few same-size cumsum pyramids; chunk M so the
@@ -554,7 +612,8 @@ def fit_tree_ensembles(Xs, ys, n_estimators: int = 50,
 
         fitted = _fit_forest_cells(
             jnp.asarray(padded(binned)), jnp.asarray(padded(thr)),
-            jnp.asarray(padded(nthr)), jnp.asarray(padded(y_enc)),
+            jnp.asarray(padded(nthr)), jnp.asarray(padded(vmin)),
+            jnp.asarray(padded(vmax)), jnp.asarray(padded(y_enc)),
             n_trees=n_estimators, n_classes=C, max_features=mf,
             min_samples_split=min_samples_split,
             min_samples_leaf=min_samples_leaf, max_depth=depth,
