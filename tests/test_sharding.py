@@ -73,13 +73,22 @@ def test_train_step_shard_invariance(rng):
 
 def test_device_bin_roundtrip(rng):
     X = rng.normal(size=(20, 3)).astype(np.float32)
-    binned, thr, nthr = jax.jit(_device_bin)(X)
+    binned, thr, nthr, vmin, vmax = jax.jit(_device_bin)(X)
     binned = np.asarray(binned)
     # order-preserving: higher value -> higher-or-equal bin
     for f in range(3):
         order = np.argsort(X[:, f])
         assert (np.diff(binned[order, f]) >= 0).all()
     assert (np.asarray(nthr) == 19).all()
+    # per-bin extrema bracket exactly the values that landed in each bin
+    vmin, vmax = np.asarray(vmin), np.asarray(vmax)
+    for f in range(3):
+        for b in range(vmin.shape[1]):
+            vals = X[binned[:, f] == b, f]
+            if len(vals):
+                assert vmin[f, b] == vals.min() and vmax[f, b] == vals.max()
+            else:
+                assert vmin[f, b] == np.inf and vmax[f, b] == -np.inf
 
 
 def test_graft_entry_and_dryrun():

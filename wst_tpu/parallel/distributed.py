@@ -35,9 +35,13 @@ from wst_tpu.parallel.mesh import make_mesh
 
 
 def _device_bin(X: jnp.ndarray, max_bins: int = 256
-                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                           jnp.ndarray, jnp.ndarray]:
     """On-device quantile binning of (n, F): returns (binned int32 (n, F),
-    thresholds (F, B-1) float32, n_thresholds (F,) int32)."""
+    thresholds (F, B-1) float32, n_thresholds (F,) int32, and per-bin value
+    extrema vmin/vmax (F, B) float32 — +/-inf on empty bins, matching the
+    host-side ``models.forest._bin_features`` contract the split kernel
+    uses to place node-adjacent max-margin thresholds)."""
     n, F = X.shape
     u = jnp.sort(X, axis=0)                      # (n, F)
     if n > max_bins:
@@ -46,7 +50,12 @@ def _device_bin(X: jnp.ndarray, max_bins: int = 256
     mids = (u[:-1] + u[1:]) / 2.0                # (B-1, F)
     binned = jnp.sum(X[:, None, :] > mids[None], axis=1).astype(jnp.int32)
     nthr = jnp.full((F,), mids.shape[0], jnp.int32)
-    return binned, mids.T.astype(jnp.float32), nthr
+    B = mids.shape[0] + 1
+    occ = binned[:, :, None] == jnp.arange(B)[None, None]   # (n, F, B)
+    Xb = X.astype(jnp.float32)[:, :, None]
+    vmin = jnp.min(jnp.where(occ, Xb, jnp.inf), axis=0)     # (F, B)
+    vmax = jnp.max(jnp.where(occ, Xb, -jnp.inf), axis=0)
+    return binned, mids.T.astype(jnp.float32), nthr, vmin, vmax
 
 
 class DistributedTrainer:
@@ -123,10 +132,10 @@ class DistributedTrainer:
             Xsel_te = Xte_s[:, sel]
 
             # 4) tree-parallel forest fit on device-binned features.
-            binned, thr, nthr = _device_bin(Xsel)
+            binned, thr, nthr, vmin, vmax = _device_bin(Xsel)
             n = Xsel.shape[0]
             forest = _fit_forest(
-                binned, thr, nthr, y_train,
+                binned, thr, nthr, vmin, vmax, y_train,
                 n_trees=self.n_estimators, n_classes=self.n_classes,
                 max_features=max(1, int(self.k ** 0.5)),
                 min_samples_split=self.min_samples_split,
