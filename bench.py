@@ -50,15 +50,15 @@ def bench_xla(batch: int, iters: int):
 
 
 def bench_pallas(batch: int, iters: int, boundary: str = "reflect",
-                 layout: str = "wide"):
+                 layout: str = "wide", h: int = H, w: int = W):
     import jax
     from wst_tpu.ops.pallas.fused_scattering import (fused_scattering_j2,
                                                      pallas_available)
     if not pallas_available():
         return None
-    f = fused_scattering_j2(L, H, W, boundary=boundary, layout=layout)
+    f = fused_scattering_j2(L, h, w, boundary=boundary, layout=layout)
     x = jax.device_put(np.random.default_rng(0).random(
-        (batch * 3, H, W), dtype=np.float32))
+        (batch * 3, h, w), dtype=np.float32))
     dt = _steady(f.features, x, iters)
     return batch / dt
 
@@ -105,7 +105,12 @@ def main():
                  (f"pallas_periodic_tall2_b{batch}",
                   lambda: bench_pallas(batch, iters, "periodic", "tall2")),
                  (f"pallas_reflect_b{batch}",
-                  lambda: bench_pallas(batch, iters, "reflect"))]
+                  lambda: bench_pallas(batch, iters, "reflect")),
+                 # BASELINE config 1's shape (64x64 patches): measured as a
+                 # secondary datum; excluded from the 128px headline.
+                 ("pallas_periodic_64px_b512",
+                  lambda: bench_pallas(512, iters, "periodic", "tall2",
+                                       h=64, w=64))]
 
     candidates = {}
     fns = {}
@@ -152,23 +157,50 @@ def _emit(candidates, platform="tpu"):
     for name, pps in sorted(candidates.items()):
         print(f"# {name}: {pps:.1f} patches/s on {platform}",
               file=sys.stderr)
-    try:
-        from wst_tpu.utils.profiling import flop_estimate_scattering
-        flops = flop_estimate_scattering(2, L, H, W) * 3  # per RGB patch
-        best_pps = max(candidates.values()) if candidates else 0.0
-        print(f"# cascade ~{flops/1e9:.2f} GFLOP/patch -> "
-              f"{best_pps*flops/1e12:.2f} TFLOP/s sustained",
-              file=sys.stderr)
-    except Exception:
-        pass
 
-    best = max(candidates.values()) if candidates else 0.0
-    best_name = max(candidates, key=candidates.get) if candidates else ""
+    # 64px candidates are a separate datum (BASELINE config 1), never the
+    # 128px headline.
+    c128 = {n: v for n, v in candidates.items() if "64px" not in n}
+    c64 = {n: v for n, v in candidates.items() if "64px" in n}
+    best = max(c128.values()) if c128 else 0.0
+    best_name = max(c128, key=c128.get) if c128 else ""
+    reflect = [v for n, v in c128.items() if "reflect" in n]
+
+    # Roofline/MFU accounting (VERDICT round-3 directive #5): sustained
+    # TFLOP/s per boundary against the chip's dense bf16 peak.  The two
+    # boundaries have different FLOP totals: reflect runs the
+    # kymatio-faithful padded 136-grid, periodic the lane-aligned 128-grid.
+    mfu = {}
+    try:
+        from wst_tpu.utils.profiling import (chip_peak_tflops,
+                                             flop_estimate_scattering)
+        peak = chip_peak_tflops() if platform != "cpu" else None
+        for boundary, pps in (
+                ("periodic", max([v for n, v in c128.items()
+                                  if "periodic" in n], default=0.0)),
+                ("reflect", max(reflect, default=0.0))):
+            if pps <= 0:
+                continue
+            flops = flop_estimate_scattering(2, L, H, W, boundary) * 3
+            tf = pps * flops / 1e12
+            mfu[boundary] = {
+                "gflop_per_patch": flops / 1e9,
+                "tflops_sustained": round(tf, 2),
+                "mfu": (round(tf / peak, 4) if peak else None),
+            }
+            print(f"# {boundary}: ~{flops/1e9:.2f} GFLOP/patch -> "
+                  f"{tf:.2f} TFLOP/s sustained"
+                  + (f" = {tf/peak:.1%} of {peak:.0f} TFLOP/s peak"
+                     if peak else ""),
+                  file=sys.stderr)
+    except Exception as e:
+        peak = None
+        print(f"# roofline accounting failed: {e}", file=sys.stderr)
+
     # The headline is the periodic fast mode (lane-aligned grids;
     # boundary-only feature difference vs kymatio, corr 0.9998 —
     # docs/ARCHITECTURE.md).  The kymatio-faithful reflect-boundary number
     # travels WITH it as a first-class field so both are driver-recorded.
-    reflect = [v for n, v in candidates.items() if "reflect" in n]
     line = {
         "metric": "wst_patches_per_sec_per_chip_J2_L8_128px",
         "value": round(best, 2),
@@ -177,10 +209,21 @@ def _emit(candidates, platform="tpu"):
         # xla_matmul runs Scattering2D's default reflect boundary
         "boundary": ("periodic" if "periodic" in best_name else "reflect"),
     }
+    if peak:
+        line["chip_peak_tflops"] = peak
+    if "periodic" in mfu:
+        line["tflops_sustained"] = mfu["periodic"]["tflops_sustained"]
+        line["mfu"] = mfu["periodic"]["mfu"]
     if reflect:
         line["reflect_parity_value"] = round(max(reflect), 2)
         line["reflect_vs_baseline"] = round(
             max(reflect) / BASELINE_PATCHES_PER_S, 2)
+        if "reflect" in mfu:
+            line["reflect_tflops_sustained"] = \
+                mfu["reflect"]["tflops_sustained"]
+            line["reflect_mfu"] = mfu["reflect"]["mfu"]
+    if c64:
+        line["value_64px"] = round(max(c64.values()), 2)
     print(json.dumps(line), flush=True)
 
 

@@ -19,15 +19,23 @@ What is asserted:
 * Selection parity: IDENTICAL top-10 MI feature sets at every size — the
   scaler, MI estimator, and top-k tie-break are bit-faithful to sklearn
   on the reference's float64 feature regime (wst_tpu/features/selection).
-* Per-family CV bias: the deep-seed (160) bias_bound families sit within
-  |bias| <= 0.01 + their 95% CI (round-2 directive #2: bounded with CI
-  evidence, not a noise-floor assertion).
-* Per-suite pooled parity (the BASELINE row): every suite's pooled CV
-  delta within 0.01; test-split and per-class deltas within the wider
-  floor the grid's correlated draws impose (0.015 / 0.025), with any
-  suite past the naive floor cleared by a disjoint-seed replication of
-  the full suite asserted at the budget itself (<= 0.005 pooled,
-  <= 0.0125 per class) — see test_artifact_per_suite_pooled_parity.
+* Per-family CV bias: the deep-seed bias_bound families (popolar/mini at
+  1000 seeds, the small families at 400) sit within |bias| <= 0.01 with
+  ci95 <= 0.01 — a gate that cannot be satisfied by variance (round-3
+  directive #3).
+* Per-suite pooled parity (the BASELINE row): the shared-seed main grid
+  within the floors its correlated draws impose (CV 0.01 / test 0.015 /
+  per-class 0.025); ALL SIX suites replicated with disjoint seeds
+  (1000+) at the BASELINE budget itself (<= 0.005 pooled, <= 0.0125 per
+  class; round-3 directive #1); and the combined two-campaign estimate
+  per suite within 0.01 pooled / 0.015 per class.
+* Factorial axes: the reference's 3 methods x k in {2,5,10,20}
+  (src/training/train_and_save_model.py:320-344) at selection-set parity
+  (overlap == k, incl. the tie-heavy k=2 regime) and |d_cv| <= 0.01 per
+  (method, k) pooled over areas (round-3 directive #2).
+* Production shape: one full family at 128x128 features (family_128)
+  within the same per-family bounds as the 64x64 grid (round-3
+  directive #9).
 * In-suite smoke: a reduced live run (one area, all 14 conditions, small,
   6 seeds) checks the machinery end-to-end with bounds scaled to its
   noise floor.
@@ -129,14 +137,18 @@ def test_artifact_families_pooled(artifact):
 
 
 def test_artifact_bias_bound(artifact):
-    """Directive #2: per-family bias bounded at 160 seeds with 95% CI —
-    |bias| must sit within 0.01 + CI (i.e. consistent with a true bias
-    <= 0.01)."""
+    """Round-3 directive #3: per-family bias bounded with the CI UNDER the
+    gate — |bias| <= 0.01 outright, ci95 <= 0.01 — so the gate cannot be
+    satisfied by variance.  Seed counts: the noisy-but-cheap mini family
+    gets 1000 seeds, the small families 400."""
     bb = artifact["bias_bound"]
     assert len(bb) >= 3
+    min_seeds = {"mini": 1000, "small": 400, "original": 20}
     for fam, r in bb.items():
-        assert r["n_seeds"] >= 150, fam
-        assert abs(r["d_cv_mean"]) <= 0.01 + r["ci95"], (fam, r)
+        size = fam.split("/")[1]
+        assert r["n_seeds"] >= min_seeds[size], (fam, r["n_seeds"])
+        assert r["ci95"] <= 0.01, (fam, r)
+        assert abs(r["d_cv_mean"]) <= 0.01, (fam, r)
 
 
 def test_artifact_six_suites_complete(artifact):
@@ -150,31 +162,74 @@ def test_artifact_six_suites_complete(artifact):
             assert r["selection_overlap"] == 10, (cell, r)
 
 
-def test_artifact_per_suite_pooled_parity(artifact):
-    """The last unmet BASELINE row: per-suite pooled CV deltas within the
-    0.5-1% budget; test-split and per-class deltas within the wider floor
-    that the grid's CORRELATED draws impose.
+SUITES = ("clean", "gaussian", "poisson", "salt_and_pepper", "speckle",
+          "uniform")
 
-    Every cell of the main grid shares one seed set and one image pool
-    per area, so cell deltas are correlated and naive pooled standard
-    errors overstate precision (the shared-seed grid showed gaussian
-    d_test -0.0115 / low_veg -0.025, which a fresh-seed replication of
-    the full suite collapsed to +0.0003 / +0.004 — see
-    artifact['replication']).  Hence: CV pooled |d| <= 0.01 (primary
-    parity metric, tight floor), test pooled |d| <= 0.015 and per-class
-    |d| <= 0.025 grid-wide, and any suite past the naive floor must be
-    (or is) cleared by a disjoint-seed replication asserted at the
-    BASELINE budget itself."""
+
+def test_artifact_per_suite_pooled_parity(artifact):
+    """The BASELINE parity row, asserted at three evidence tiers:
+
+    1. Shared-seed main grid: every cell shares one seed set and one
+       image pool per area, so cell deltas are CORRELATED and pooled
+       standard errors overstate precision — floors: CV |d| <= 0.01,
+       test |d| <= 0.015, per-class |d| <= 0.025.
+    2. Disjoint-seed replication (round-3 directive #1): ALL SIX suites
+       re-run with fresh seeds (1000+) at deep counts, asserted at the
+       BASELINE budget itself: pooled |d| <= 0.005 (CV and test),
+       per-class |d| <= 0.0125.
+    3. Combined two-campaign estimate (the best available per-suite
+       estimate): pooled |d| <= 0.01, per-class |d| <= 0.015 (the
+       round-3 tightening of the 0.025 grid floor)."""
     for name, s in artifact["suites"].items():
         assert abs(s["d_cv_pooled"]) <= 0.01, (name, s["d_cv_pooled"])
         assert abs(s["d_test_pooled"]) <= 0.015, (name, s["d_test_pooled"])
         for cls, d in s["per_class_d_test_pooled"].items():
             assert abs(d) <= 0.025, (name, cls, d)
+
     reps = artifact["replication"]
-    assert "gaussian" in reps      # the worst shared-seed suite, replicated
+    assert set(reps) == set(SUITES)          # all six, not just the worst
     for name, rep in reps.items():
         assert rep["n_cells"] == len(artifact["suites"][name]["cells"])
+        assert min(int(s.split("-")[0]) for s in rep["seeds"].values()) \
+            >= 1000, (name, rep["seeds"])    # disjoint from the main grid
         assert abs(rep["d_test_pooled"]) <= 0.005, (name, rep)
         assert abs(rep["d_cv_pooled"]) <= 0.005, (name, rep)
         for cls, d in rep["per_class_d_test_pooled"].items():
             assert abs(d) <= 0.0125, (name, cls, d)
+
+    combined = artifact["suites_combined"]
+    assert set(combined) == set(SUITES)
+    for name, s in combined.items():
+        assert abs(s["d_cv_pooled"]) <= 0.01, (name, s["d_cv_pooled"])
+        assert abs(s["d_test_pooled"]) <= 0.01, (name, s["d_test_pooled"])
+        for cls, d in s["per_class_d_test_pooled"].items():
+            assert abs(d) <= 0.015, (name, cls, d)
+
+
+def test_artifact_factorial(artifact):
+    """Round-3 directive #2: the reference's method x k axes.  Selection
+    parity must hold at every k (k=2 is the tie-break stress case) and
+    per-(method, k) CV deltas pooled over areas sit within 0.01."""
+    fact = artifact["factorial"]
+    assert fact["n_seeds"] >= 40
+    methods = ("advanced_stats", "wst", "hybrid")
+    ks = (2, 5, 10, 20)
+    assert len(fact["cells"]) == 3 * len(methods) * len(ks)
+    for m in methods:
+        for k in ks:
+            r = fact["by_method_k"][f"{m}/k{k}"]
+            assert r["n_cells"] == 3, (m, k)
+            assert r["min_selection_overlap"] == k, (m, k, r)
+            assert abs(r["d_cv_pooled"]) <= 0.01, (m, k, r)
+
+
+def test_artifact_family_128(artifact):
+    """Round-3 directive #9: forest parity on the production 128x128
+    feature distribution (the main grids extract at 64x64)."""
+    fams = artifact["family_128"]
+    assert len(fams) == 3
+    for fam, r in fams.items():
+        assert r["selection_overlap"] == 10, fam
+        assert abs(r["d_cv_mean"]) <= 0.05, (fam, r["d_cv_mean"])
+    pooled = np.mean([r["d_cv_mean"] for r in fams.values()])
+    assert abs(pooled) <= 0.01, pooled

@@ -16,6 +16,11 @@ Matches SURVEY.md §5 "distributed communication backend" and the
 BASELINE.json multi-host scaling row: the multi-host init path, global-mesh
 construction, cross-process collectives, and ``process_allgather`` fetch
 are all exercised for real.
+
+Round 4 (VERDICT round-3 directive #6): the workers additionally run
+``SceneClassifier.classify`` — full-scene sliding-window WST inference,
+BASELINE config 5 — over the same cross-process mesh on a shared raster,
+and the class map must match the single-process result bitwise.
 """
 
 import os
@@ -58,8 +63,32 @@ WORKER = textwrap.dedent("""
     res = {k: np.asarray(multihost_utils.process_allgather(out[k],
                                                            tiled=True))
            for k in ("selected", "proba", "confusion_matrix", "accuracy")}
+
+    # --- full-scene sliding-window WST inference over the SAME cross-
+    # process mesh (BASELINE config 5's "sharded across N hosts" row).
+    # Model fit is deterministic per process (local CPU); the classify
+    # step shards tiles over the global (data, model) mesh axes and
+    # replicates the tiny label outputs back to every process.
+    from wst_tpu.features.extractor import FeatureExtractor
+    from wst_tpu.features.selection import fit_select_kbest
+    from wst_tpu.models.forest import TreeEnsembleClassifier
+    from wst_tpu.infer.scene import SceneClassifier
+    fx = FeatureExtractor("hybrid", H, W, 2, 4)
+    Xtr = fx.extract_numpy(tr_img).astype(np.float64)
+    Xsel, selection = fit_select_kbest(
+        Xtr, y_tr, [f"f{i}" for i in range(Xtr.shape[1])], 10)
+    model = TreeEnsembleClassifier(n_estimators=8, random_state=0).fit(
+        Xsel, y_tr)
+    scene = np.random.default_rng(5).random((3, 80, 112), dtype=np.float32)
+    sc = SceneClassifier(model, selection, "hybrid", patch=H, J=2, L=4,
+                         mesh=mesh, batch_size=16)
+    smap = sc.classify(scene)
+    res["scene_class_map"] = smap["class_map"]
+    res["scene_confidence"] = smap["confidence"]
+
     np.savez(os.path.join(outdir, f"proc{pid}.npz"), **res)
-    print(f"[p{pid}] ok acc={float(res['accuracy']):.4f}", flush=True)
+    print(f"[p{pid}] ok acc={float(res['accuracy']):.4f} "
+          f"scene={smap['class_map'].shape}", flush=True)
 """)
 
 
@@ -113,6 +142,24 @@ def test_two_process_multihost_matches_single_process(tmp_path):
     out = trainer.train_step(tr_img, y_tr, te_img, y_te, seed=42)
     ref = {k: np.asarray(out[k])
            for k in ("selected", "proba", "confusion_matrix", "accuracy")}
+
+    # single-process scene reference on the same 8-device mesh
+    from wst_tpu.features.extractor import FeatureExtractor
+    from wst_tpu.features.selection import fit_select_kbest
+    from wst_tpu.infer.scene import SceneClassifier
+    from wst_tpu.models.forest import TreeEnsembleClassifier
+    fx = FeatureExtractor("hybrid", H, W, 2, 4)
+    Xtr = fx.extract_numpy(tr_img).astype(np.float64)
+    Xsel, selection = fit_select_kbest(
+        Xtr, y_tr, [f"f{i}" for i in range(Xtr.shape[1])], 10)
+    model = TreeEnsembleClassifier(n_estimators=8, random_state=0).fit(
+        Xsel, y_tr)
+    scene = np.random.default_rng(5).random((3, 80, 112), dtype=np.float32)
+    sc = SceneClassifier(model, selection, "hybrid", patch=H, J=2, L=4,
+                         mesh=mesh, batch_size=16)
+    smap = sc.classify(scene)
+    ref["scene_class_map"] = smap["class_map"]
+    ref["scene_confidence"] = smap["confidence"]
 
     for p in (0, 1):
         with np.load(tmp_path / f"proc{p}.npz") as z:

@@ -81,6 +81,8 @@ class SceneClassifier:
 
         from jax.sharding import NamedSharding, PartitionSpec as P
         dsh = NamedSharding(self.mesh, P(("data", "model")))
+        rep = NamedSharding(self.mesh, P())
+        self._replicated = rep
 
         def step(tiles):  # (B, 3, p, p) float32 -> (B,) class ids, (B,) conf
             tiles = jax.lax.with_sharding_constraint(tiles, dsh)
@@ -91,7 +93,13 @@ class SceneClassifier:
                      if getattr(model, "max_depth_used_", None)
                      else f.feature.shape[1])
             proba = _predict_forest(Xsel, *forest, max_depth=depth)
-            return jnp.argmax(proba, axis=1), jnp.max(proba, axis=1)
+            # Replicate the tiny per-tile outputs (the one collective of
+            # the scene pipeline — XLA lowers this to an all-gather over
+            # ICI/DCN): fully-replicated outputs are addressable from
+            # every process, which is what makes ``classify`` work
+            # unchanged on a multi-HOST mesh.
+            return jax.lax.with_sharding_constraint(
+                (jnp.argmax(proba, axis=1), jnp.max(proba, axis=1)), rep)
 
         self._step = jax.jit(step)
 
@@ -128,12 +136,20 @@ class SceneClassifier:
                 [coords, np.repeat(coords[-1:], pad, axis=0)])
         ids, confs = [], []
         with self.mesh:
-            scene_dev = jax.device_put(np.ascontiguousarray(scene))
+            # Replicate the raster over the mesh (each device dynamic-
+            # slices its own tiles from the full scene, so every shard
+            # needs the whole raster; on one process this is the same
+            # single transfer as before).  Coordinates stay host numpy —
+            # jit treats them as replicated inputs, which also holds on a
+            # multi-process mesh where every process passes identical
+            # values.
+            scene_dev = jax.device_put(np.ascontiguousarray(scene),
+                                       self._replicated)
             outs = []
             for i in range(0, len(coords), bs):
                 outs.append(self._step_scene(
-                    scene_dev, jnp.asarray(coords[i:i + bs, 0]),
-                    jnp.asarray(coords[i:i + bs, 1])))
+                    scene_dev, np.ascontiguousarray(coords[i:i + bs, 0]),
+                    np.ascontiguousarray(coords[i:i + bs, 1])))
             # fetch after all batches are submitted (no per-batch sync)
             for a, c in outs:
                 ids.append(np.asarray(a))

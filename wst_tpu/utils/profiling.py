@@ -58,15 +58,56 @@ def log_event(event: str, stream=None, **fields) -> None:
     print(json.dumps(rec), file=stream or sys.stderr, flush=True)
 
 
-def flop_estimate_scattering(J: int, L: int, H: int, W: int) -> float:
+# Per-chip dense peak (TFLOP/s) by PJRT device_kind, bf16 MXU rate — the
+# denominator every published TPU MFU number uses.  Sources: Google Cloud
+# TPU system-architecture pages (v4 275, v5e 197, v5p 459, v6e 918).
+_CHIP_PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
+
+
+def chip_peak_tflops(device=None) -> Optional[float]:
+    """Dense bf16 peak of the attached chip, or None when unknown (CPU,
+    new TPU generations).  Override with WST_CHIP_PEAK_TFLOPS."""
+    import os
+    env = os.environ.get("WST_CHIP_PEAK_TFLOPS")
+    if env:
+        try:
+            return float(env)
+        except ValueError:
+            pass
+    d = device or jax.devices()[0]
+    kind = getattr(d, "device_kind", "")
+    for k, v in _CHIP_PEAK_TFLOPS.items():
+        if kind.startswith(k):
+            return v
+    return None
+
+
+def flop_estimate_scattering(J: int, L: int, H: int, W: int,
+                             boundary: str = "reflect") -> float:
     """Analytic FLOPs per channel-image of the DFT-matmul cascade.
 
     Counts the matmul FLOPs of the real-optimized path (2 row + 4 col
     einsums per real-input fft2; 4 + 2 for real-output ifft2; 8 for complex
     transforms), matching wst_tpu.ops.scattering's matmul backend.
+
+    ``boundary='reflect'`` runs on the kymatio-faithful padded grid
+    (compute_padding -> 136 for 128x128 at J=2); ``'periodic'`` is the
+    lane-aligned fast mode on the unpadded HxW grid — the FLOP counts
+    (and hence MFU denominators) differ between the two.
     """
-    from wst_tpu.ops.filter_bank import compute_padding
-    n, _ = compute_padding(H, W, J)
+    if boundary == "periodic":
+        n = H
+    else:
+        from wst_tpu.ops.filter_bank import compute_padding
+        n, _ = compute_padding(H, W, J)
 
     def mm(m):             # one m x m DFT matmul over an m x m operand
         return 2.0 * m ** 3
