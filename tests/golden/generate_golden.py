@@ -12,7 +12,8 @@ Configs cover the reference's two Scattering2D call sites:
     (/root/reference/src/training/train_and_save_model.py:346-378)
   * J=3, L=6, 32x32   — WST clean-vs-noisy comparator
     (/root/reference/src/visualization/compare_wst_coefficients.py:30-39)
-plus a deep-J config (J=4, L=8, 64x64) exercised by the fused Pallas path.
+plus a deep-J config (J=4, L=8, 64x64) exercised by the fused Pallas path
+and the BASELINE config-1 shape (J=2, L=8, 64x64 patches).
 """
 
 import os
@@ -25,7 +26,7 @@ import kymatio_oracle as KO  # noqa: E402
 
 OUT_DIR = os.path.dirname(os.path.abspath(__file__))
 
-CONFIGS = [(2, 8, 128, 128), (3, 6, 32, 32), (4, 8, 64, 64)]
+CONFIGS = [(2, 8, 128, 128), (3, 6, 32, 32), (4, 8, 64, 64), (2, 8, 64, 64)]
 
 
 def make_inputs(H, W):

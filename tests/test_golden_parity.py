@@ -29,7 +29,7 @@ from wst_tpu.ops.filter_bank import get_filter_bank  # noqa: E402
 from wst_tpu.ops.scattering import Scattering2D  # noqa: E402
 from wst_tpu.ops.scattering_ref import scattering2d_ref  # noqa: E402
 
-CONFIGS = [(2, 8, 128, 128), (3, 6, 32, 32), (4, 8, 64, 64)]
+CONFIGS = [(2, 8, 128, 128), (3, 6, 32, 32), (4, 8, 64, 64), (2, 8, 64, 64)]
 
 
 def _load(J, L, H, W):

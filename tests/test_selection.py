@@ -173,3 +173,49 @@ def test_mi_scales_to_scene_patch_counts(rng):
     assert set(top_k_indices(ours, 4)) == {0, 1, 2, 3}
     theirs = sk_mi(Xs, y, n_neighbors=3, random_state=0)
     np.testing.assert_allclose(ours, theirs, atol=0.03)
+
+
+def test_mi_device_path_on_realistic_wst_features():
+    """VERDICT round-3 directive #8: the full-scene pipeline uses the
+    device Kraskov path EXCLUSIVELY at n > 512, so validate it against
+    sklearn on the feature distribution it actually sees — real hybrid
+    WST features (correlated, near-tied MI scores) at scene-scale n —
+    not only on synthetic separable columns.
+
+    Imagery: the parity harness's blended-class regime (the same
+    de-saturated task the e2e grid measures on), n = 3 x 400 patches at
+    64x64.  Gates: Spearman rank correlation >= 0.95 over all 540
+    features and top-20 selection overlap >= 18/20 vs sklearn's own
+    estimator on the identical standardized float64 matrix.
+    """
+    import os
+    import sys
+
+    from scipy.stats import spearmanr
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from parity_harness import _blended_images
+
+    from wst_tpu.features.extractor import FeatureExtractor
+
+    u8, y = _blended_images("popolar", 64, 400, alpha=0.4, seed=11)
+    x = u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+    # mild gaussian float noise, as in the harness's accuracy regime
+    r = np.random.default_rng(12)
+    x = np.clip(x + r.normal(0, 0.12, x.shape).astype(np.float32), 0, 1)
+    X = FeatureExtractor("hybrid", 64, 64, 2, 8).extract_numpy(x)
+    X = X.astype(np.float64)
+    assert X.shape == (1200, 540)
+
+    _, yi = np.unique(y, return_inverse=True)
+    _, Xs = fit_standard_scaler(X)
+    ours = mutual_info_classif(Xs, yi)          # n=1200 -> device path
+    theirs = sk_mi(Xs, yi, n_neighbors=3, random_state=0)
+
+    rho = spearmanr(ours, theirs).statistic
+    top_ours = set(top_k_indices(ours, 20))
+    top_theirs = set(top_k_indices(theirs, 20))
+    overlap = len(top_ours & top_theirs)
+    assert rho >= 0.95, rho
+    assert overlap >= 18, (overlap, sorted(top_ours ^ top_theirs))
