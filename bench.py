@@ -100,7 +100,11 @@ def main():
         # batch 512 amortizes dispatch best on the measured batch-scaling
         # curve (reports/SCALING_tpu_batch.json: 14.8k patches/s vs 11.8k
         # at 128).
-        plan += [("pallas_periodic_tall2_b512",
+        # b1024 edges out b512 by ~3% on the measured warm-session curve
+        # (15.3k vs 14.8k, 2026-08-21) — amortizing dispatch further.
+        plan += [("pallas_periodic_tall2_b1024",
+                  lambda: bench_pallas(1024, iters, "periodic", "tall2")),
+                 ("pallas_periodic_tall2_b512",
                   lambda: bench_pallas(512, iters, "periodic", "tall2")),
                  (f"pallas_periodic_tall2_b{batch}",
                   lambda: bench_pallas(batch, iters, "periodic", "tall2")),
