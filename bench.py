@@ -100,10 +100,12 @@ def main():
         # batch 512 amortizes dispatch best on the measured batch-scaling
         # curve (reports/SCALING_tpu_batch.json: 14.8k patches/s vs 11.8k
         # at 128).
-        # b1024 edges out b512 by ~3% on the measured warm-session curve
-        # (15.3k vs 14.8k, 2026-08-21) — amortizing dispatch further.
-        plan += [("pallas_periodic_tall2_b1024",
-                  lambda: bench_pallas(1024, iters, "periodic", "tall2")),
+        # The batch curve keeps amortizing dispatch toward a ~16k
+        # asymptote (reports/SCALING_tpu_batch.json, 2026-08-21:
+        # 14.9k@512, 15.5k@1024, 16.0k@3072) — b3072 is the measured
+        # knee (578 MB input, well inside HBM).
+        plan += [("pallas_periodic_tall2_b3072",
+                  lambda: bench_pallas(3072, iters, "periodic", "tall2")),
                  ("pallas_periodic_tall2_b512",
                   lambda: bench_pallas(512, iters, "periodic", "tall2")),
                  (f"pallas_periodic_tall2_b{batch}",
