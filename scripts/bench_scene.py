@@ -43,8 +43,16 @@ def main():
     model.fit(Xsel, y)
 
     mode = "pallas" if platform != "cpu" else None
+    # Fast mode (periodic, lane-aligned) is the headline; the
+    # kymatio-faithful reflect boundary travels with it as the parity
+    # rate — same dual reporting as bench.py.  (This benchmark's model is
+    # fit on synthetic features, so either boundary is self-consistent;
+    # production models must infer with their training boundary.)
     sc = SceneClassifier(model, selection, "wst", patch=patch, J=J, L=L,
-                         batch_size=256, mode=mode)
+                         batch_size=1024, mode=mode, boundary="periodic")
+    sc_reflect = SceneClassifier(model, selection, "wst", patch=patch,
+                                 J=J, L=L, batch_size=1024, mode=mode,
+                                 boundary="reflect")
 
     scene = rng.integers(0, 256, (3, scene_hw, scene_hw), dtype=np.uint8)
     mp = scene_hw * scene_hw / 1e6
@@ -59,8 +67,12 @@ def main():
 
     dev_pps = sc.throughput(iters=5)
     dev_pps = max(dev_pps, sc.throughput(iters=5))  # ramp-up re-measure
-    print(f"device-resident classification: {dev_pps:.1f} patches/s",
-          flush=True)
+    print(f"device-resident classification (periodic): {dev_pps:.1f} "
+          f"patches/s", flush=True)
+    ref_pps = sc_reflect.throughput(iters=5)
+    ref_pps = max(ref_pps, sc_reflect.throughput(iters=5))
+    print(f"device-resident classification (reflect): {ref_pps:.1f} "
+          f"patches/s", flush=True)
 
     out = {
         "metric": "full_scene_inference",
@@ -68,10 +80,12 @@ def main():
         "scene": [3, scene_hw, scene_hw],
         "patch": patch, "J": J, "L": L, "k": k,
         "input_dtype": "uint8",
+        "boundary": "periodic",
         "end_to_end_mp_per_s": round(mp / wall, 2),
         "tiles": int(n_tiles),
         "wall_s": round(wall, 2),
         "device_resident_patches_per_s": round(dev_pps, 1),
+        "reflect_device_resident_patches_per_s": round(ref_pps, 1),
     }
     os.makedirs("reports", exist_ok=True)
     with open("reports/SCENE.json", "w") as fp:

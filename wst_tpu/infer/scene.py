@@ -64,12 +64,19 @@ class SceneClassifier:
     def __init__(self, model: TreeEnsembleClassifier,
                  selection: SelectionModel, method: str, patch: int = 128,
                  J: int = 2, L: int = 8, mesh=None,
-                 batch_size: int = 256, mode: Optional[str] = None):
+                 batch_size: int = 256, mode: Optional[str] = None,
+                 boundary: str = "reflect"):
+        """``boundary``: 'reflect' (default) is the kymatio-faithful
+        parity mode; 'periodic' is the lane-aligned TPU fast mode
+        (boundary-only feature difference, ~2.3x faster scattering —
+        docs/ARCHITECTURE.md).  Must match the boundary the model's
+        training features were extracted with."""
         self.model, self.selection = model, selection
         self.patch = patch
         self.mesh = mesh if mesh is not None else make_mesh()
         self.batch_size = batch_size
-        self.fx = FeatureExtractor(method, patch, patch, J, L, mode)
+        self.fx = FeatureExtractor(method, patch, patch, J, L, mode,
+                                   boundary=boundary)
 
         f = model.forest_
         scaler_mean = jnp.asarray(selection.scaler.mean, jnp.float32)
