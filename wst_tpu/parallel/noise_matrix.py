@@ -66,9 +66,10 @@ class NoiseMatrixPipeline:
 
     def __init__(self, method: str = "hybrid", H: int = 128, W: int = 128,
                  J: int = 2, L: int = 8, mesh=None,
-                 mode: Optional[str] = None):
+                 mode: Optional[str] = None, boundary: str = "reflect"):
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.fx = FeatureExtractor(method, H, W, J, L, mode)
+        self.fx = FeatureExtractor(method, H, W, J, L, mode,
+                                   boundary=boundary)
         self.conditions = noise_matrix_conditions()
 
         dsh = NamedSharding(self.mesh, P(("data", "model")))

@@ -41,7 +41,8 @@ def extract_features_batched(config: ExperimentConfig, images: np.ndarray,
     H, W = images.shape[-2:]
     fx = extractor or FeatureExtractor(config.feature_method, H, W,
                                        config.J, config.L,
-                                       config.scattering_mode)
+                                       config.scattering_mode,
+                                       boundary=config.boundary)
     chunks = []
     bs = config.batch_size
     for i in range(0, len(images), bs):
@@ -186,7 +187,7 @@ def run_experiment(config: ExperimentConfig,
 
     H, W = images.shape[-2:]
     fx = FeatureExtractor(config.feature_method, H, W, config.J, config.L,
-                          config.scattering_mode)
+                          config.scattering_mode, boundary=config.boundary)
     X = extract_features_batched(config, images, fx)
     X_selected, selection = fit_select_kbest(
         X, labels, fx.feature_names, k=config.k_features)

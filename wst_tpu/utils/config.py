@@ -31,6 +31,11 @@ class ExperimentConfig:
     L: int = 8
     batch_size: int = 64
     scattering_mode: Optional[str] = None   # fft | matmul | None=auto
+    # 'reflect' = kymatio-faithful parity boundary (default); 'periodic' =
+    # lane-aligned TPU fast mode (~2.3x scattering throughput,
+    # boundary-only feature difference — docs/ARCHITECTURE.md).  Train and
+    # infer must use the same boundary.
+    boundary: str = "reflect"
 
     def __post_init__(self):
         if self.feature_method not in ("advanced_stats", "wst", "hybrid"):
