@@ -180,6 +180,112 @@ def test_corpus_hybrid_quirk_permutes_wst_block():
     assert sorted(Xq[0]) == sorted(X[0])  # a pure permutation
 
 
+# ---------------------------------------------------------------------------
+# Self-describing artifact contract for the extraction axes (boundary, J, L)
+# — the defect class the reference shipped (src/inference/inference.py:
+# 277-280, the 486/492 wst train/serve mismatch) must be impossible here.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def periodic_wst_cell(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds_p")
+    ds = make_synthetic_dataset(root, size="mini", hw=(32, 32), seed=5,
+                                areas=("popolar",))
+    out = str(tmp_path_factory.mktemp("exp_p") / "popolar" / "mini" / "k5"
+              / "wst")
+    cfg = ExperimentConfig(dataset_path=ds, area_name="popolar",
+                           feature_method="wst", k_features=5,
+                           output_dir=out, J=2, L=4, boundary="periodic")
+    run_experiment(cfg, verbose=False)
+    return ds, out
+
+
+def test_boundary_serialized_in_artifacts(periodic_wst_cell):
+    """boundary/J/L are written to BOTH the report config and the NPZ
+    bundle (round-5 contract: artifacts are self-describing)."""
+    _, cell = periodic_wst_cell
+    with open(os.path.join(cell, "experiment_report_with_model.json")) as f:
+        report = json.load(f)
+    assert report["config"]["boundary"] == "periodic"
+    assert report["config"]["J"] == 2
+    assert report["config"]["L"] == 4
+    with np.load(os.path.join(cell, "trained_model.npz")) as z:
+        assert str(z["extraction_boundary"]) == "periodic"
+        assert int(z["extraction_J"]) == 2
+        assert int(z["extraction_L"]) == 4
+    # usage instructions carry the boundary contract
+    with open(os.path.join(cell, "model_usage_instructions.md")) as f:
+        usage = f.read()
+    assert "boundary='periodic'" in usage
+
+
+def test_periodic_roundtrip_bitwise(periodic_wst_cell):
+    """periodic train -> save -> ModelInference -> predict is bitwise equal
+    to the in-memory (extract -> transform -> predict) path with the
+    training extractor config."""
+    from wst_tpu.features.extractor import FeatureExtractor
+    from wst_tpu.data.dataset import load_area_images_and_labels
+    from wst_tpu.utils.artifacts import load_artifacts
+
+    ds, cell = periodic_wst_cell
+    inf = ModelInference(cell)
+    assert inf.boundary == "periodic" and inf.J == 2 and inf.L == 4
+
+    images, _labels, _paths = load_area_images_and_labels(ds, "popolar")
+    df, _ = inf.predict_dataset(dataset_dir=ds)
+
+    model, selection = load_artifacts(cell)
+    fx = FeatureExtractor("wst", 32, 32, 2, 4, boundary="periodic")
+    X = selection.transform(fx.extract_numpy(images))
+    proba = model.predict_proba(X)
+    pred = model.classes_[np.argmax(proba, axis=1)]
+    np.testing.assert_array_equal(df["predicted_label"].to_numpy(), pred)
+    np.testing.assert_array_equal(df["confidence"].to_numpy(),
+                                  proba.max(axis=1))
+
+
+def test_boundary_mismatch_raises(periodic_wst_cell):
+    """Serving a periodic-trained cell with an explicit reflect override
+    (or vice versa) refuses instead of silently extracting mismatched
+    features."""
+    _, cell = periodic_wst_cell
+    with pytest.raises(ValueError, match="boundary mismatch"):
+        ModelInference(cell, boundary="reflect")
+    # matching explicit override is fine
+    inf = ModelInference(cell, boundary="periodic")
+    assert inf.boundary == "periodic"
+
+
+def test_scene_classifier_respects_stamp(periodic_wst_cell):
+    """SceneClassifier resolves (J, L, boundary) from the loaded model's
+    extraction stamp and raises on explicit contradiction."""
+    from wst_tpu.infer.scene import SceneClassifier
+    from wst_tpu.utils.artifacts import load_artifacts
+
+    _, cell = periodic_wst_cell
+    model, selection = load_artifacts(cell)
+    with pytest.raises(ValueError, match="boundary mismatch"):
+        SceneClassifier(model, selection, "wst", patch=32,
+                        boundary="reflect")
+    with pytest.raises(ValueError, match="L mismatch"):
+        SceneClassifier(model, selection, "wst", patch=32, L=8)
+    sc = SceneClassifier.from_artifacts(cell, patch=32)
+    assert sc.boundary == "periodic" and sc.J == 2 and sc.L == 4
+    assert sc.fx.method == "wst"
+
+
+def test_export_joblib_stamps_boundary(periodic_wst_cell, tmp_path):
+    from wst_tpu.utils.artifacts import export_joblib
+
+    _, cell = periodic_wst_cell
+    out = str(tmp_path / "export")
+    paths = export_joblib(cell, out)
+    with open(paths["model_usage_instructions.md"]) as f:
+        usage = f.read()
+    assert "boundary='periodic'" in usage
+
+
 def test_export_joblib_bidirectional_interop(trained_cell):
     """A wst_tpu-trained cell exports to the reference's joblib trio
     (stock sklearn RandomForestClassifier / StandardScaler / SelectKBest)

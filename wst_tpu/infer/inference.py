@@ -96,7 +96,8 @@ class ModelInference:
     def __init__(self, model_dir: str,
                  dataset_registry: Optional[Dict[str, str]] = None,
                  batch_size: int = 64, artifact_format: str = "auto",
-                 reference_inference_quirk: bool = False):
+                 reference_inference_quirk: bool = False,
+                 boundary: Optional[str] = None):
         """``artifact_format``: "auto" serves both this framework's NPZ/JSON
         bundles and the reference corpus's joblib trio (so any of the 1,516
         checked-in model dirs is directly servable); "wst_tpu"/"joblib"
@@ -110,7 +111,16 @@ class ModelInference:
         (means..., stds...), and the ``wst`` method prepends 6 basic
         features (492 total) — which makes scaler.transform raise on any
         486-feature wst model, exactly as the reference does.  Default
-        False = training-faithful features (the fixed behavior)."""
+        False = training-faithful features (the fixed behavior).
+
+        ``boundary``: scattering boundary for feature extraction.  Default
+        None = use the boundary the model was TRAINED with (read from the
+        report config / NPZ extraction stamp; 'reflect' for pre-stamp and
+        reference-corpus bundles).  An explicit value that contradicts the
+        saved stamp raises — serving a periodic-trained cell on reflect
+        features (or vice versa) is exactly the silent train/infer
+        mismatch the reference shipped (reference: src/inference/
+        inference.py:277-280) and this framework refuses to reproduce."""
         self.model_dir = model_dir
         self.batch_size = batch_size
         self.reference_inference_quirk = reference_inference_quirk
@@ -130,14 +140,28 @@ class ModelInference:
                                or "advanced_stats")
         self.dataset_type = (di.get("dataset_type")
                              or detected["dataset_type"] or "original")
-        self.J = int(cfg.get("J", 2)) if cfg else 2
-        self.L = int(cfg.get("L", 8)) if cfg else 8
         if self.area_name is None:
             raise ValueError(
                 f"Could not detect area from {model_dir!r}; expected one of "
                 f"{AREAS} in the path or a {REPORT_NAME} with config.")
         self.model, self.selection = load_any_artifacts(model_dir,
                                                         artifact_format)
+        # Extraction axes: report config first, NPZ extraction stamp as
+        # fallback (joblib corpus bundles have neither -> the reference's
+        # fixed J=2, L=8, reflect).
+        stamp = getattr(self.model, "extraction_config_", {})
+        self.J = int(cfg.get("J", stamp.get("J", 2)))
+        self.L = int(cfg.get("L", stamp.get("L", 8)))
+        saved_boundary = cfg.get("boundary") or stamp.get("boundary")
+        if (boundary is not None and saved_boundary is not None
+                and boundary != saved_boundary):
+            raise ValueError(
+                f"boundary mismatch: {model_dir!r} was trained with "
+                f"boundary={saved_boundary!r} but boundary={boundary!r} was "
+                f"requested.  Serving a model on features from a different "
+                f"scattering boundary silently mismatches the training "
+                f"distribution; retrain or drop the override.")
+        self.boundary = boundary or saved_boundary or "reflect"
         self._extractors: Dict[Tuple[int, int], FeatureExtractor] = {}
 
     # ------------------------------------------------------------------ api
@@ -149,7 +173,8 @@ class ModelInference:
     def _extractor(self, H: int, W: int) -> FeatureExtractor:
         if (H, W) not in self._extractors:
             self._extractors[(H, W)] = FeatureExtractor(
-                self.feature_method, H, W, self.J, self.L)
+                self.feature_method, H, W, self.J, self.L,
+                boundary=self.boundary)
         return self._extractors[(H, W)]
 
     def _apply_reference_quirk(self, X: np.ndarray,
@@ -318,9 +343,14 @@ def main(argv=None):
     p.add_argument("--sample", "-s", type=int, default=None)
     p.add_argument("--output", "-o", default="inference_results")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--boundary", default=None,
+                   choices=["reflect", "periodic"],
+                   help="Scattering boundary override (default: the "
+                        "boundary the model was trained with; a "
+                        "contradictory override raises)")
     args = p.parse_args(argv)
 
-    inf = ModelInference(args.model_dir)
+    inf = ModelInference(args.model_dir, boundary=args.boundary)
     results_df, n = inf.predict_dataset(args.dataset_type, args.sample,
                                         args.dataset_dir, args.seed)
     ev = inf.evaluate_predictions(results_df)

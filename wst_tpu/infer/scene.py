@@ -63,20 +63,38 @@ class SceneClassifier:
 
     def __init__(self, model: TreeEnsembleClassifier,
                  selection: SelectionModel, method: str, patch: int = 128,
-                 J: int = 2, L: int = 8, mesh=None,
+                 J: Optional[int] = None, L: Optional[int] = None, mesh=None,
                  batch_size: int = 256, mode: Optional[str] = None,
-                 boundary: str = "reflect"):
-        """``boundary``: 'reflect' (default) is the kymatio-faithful
-        parity mode; 'periodic' is the lane-aligned TPU fast mode
-        (boundary-only feature difference, ~2.3x faster scattering —
-        docs/ARCHITECTURE.md).  Must match the boundary the model's
-        training features were extracted with."""
+                 boundary: Optional[str] = None):
+        """``boundary``: 'reflect' is the kymatio-faithful parity mode;
+        'periodic' is the lane-aligned TPU fast mode (boundary-only
+        feature difference, ~2.3x faster scattering —
+        docs/ARCHITECTURE.md).  It must match the boundary the model's
+        training features were extracted with, so the default (None, like
+        J/L) resolves from the model's extraction stamp when the model was
+        loaded from artifacts (``load_artifacts`` attaches
+        ``extraction_config_``), falling back to J=2, L=8, reflect for
+        unstamped in-memory models.  An explicit value that contradicts
+        the stamp raises — the silent train/serve boundary mismatch is the
+        defect class the reference shipped (reference: src/inference/
+        inference.py:277-280)."""
         self.model, self.selection = model, selection
+        stamp = getattr(model, "extraction_config_", {})
+        for name, val in (("J", J), ("L", L), ("boundary", boundary)):
+            if (val is not None and name in stamp and val != stamp[name]):
+                raise ValueError(
+                    f"{name} mismatch: model was trained with "
+                    f"{name}={stamp[name]!r} but {name}={val!r} was "
+                    f"requested; retrain or drop the override.")
+        self.J = J if J is not None else stamp.get("J", 2)
+        self.L = L if L is not None else stamp.get("L", 8)
+        self.boundary = (boundary if boundary is not None
+                         else stamp.get("boundary", "reflect"))
         self.patch = patch
         self.mesh = mesh if mesh is not None else make_mesh()
         self.batch_size = batch_size
-        self.fx = FeatureExtractor(method, patch, patch, J, L, mode,
-                                   boundary=boundary)
+        self.fx = FeatureExtractor(method, patch, patch, self.J, self.L,
+                                   mode, boundary=self.boundary)
 
         f = model.forest_
         scaler_mean = jnp.asarray(selection.scaler.mean, jnp.float32)
@@ -125,6 +143,25 @@ class SceneClassifier:
             return step(tiles)
 
         self._step_scene = jax.jit(step_scene)
+
+    @classmethod
+    def from_artifacts(cls, model_dir: str, patch: int = 128,
+                       method: Optional[str] = None, **kwargs
+                       ) -> "SceneClassifier":
+        """Build a scene classifier from a saved experiment cell, with the
+        extractor constructed from the SAVED config (method, J, L,
+        boundary) — the self-describing-artifact contract.  Explicit
+        kwargs that contradict the saved stamp raise in ``__init__``."""
+        from wst_tpu.utils.artifacts import load_artifacts, load_report
+        model, selection = load_artifacts(model_dir)
+        if method is None:
+            try:
+                method = load_report(model_dir)["config"]["feature_method"]
+            except (FileNotFoundError, KeyError):
+                raise ValueError(
+                    f"{model_dir!r} has no report with config.feature_method;"
+                    f" pass method= explicitly.")
+        return cls(model, selection, method, patch=patch, **kwargs)
 
     def classify(self, scene: np.ndarray, stride: Optional[int] = None
                  ) -> Dict[str, np.ndarray]:

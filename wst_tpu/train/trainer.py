@@ -257,6 +257,12 @@ def main(argv=None):
                    choices=["fft", "matmul", "pallas"],
                    help="Spectral backend (default: auto by platform; "
                         "'pallas' = fused TPU kernel, J=2 only)")
+    p.add_argument("--boundary", default="reflect",
+                   choices=["reflect", "periodic"],
+                   help="Scattering boundary: 'reflect' = kymatio-faithful "
+                        "parity mode, 'periodic' = TPU fast mode.  Saved "
+                        "into the artifact bundle; inference extracts with "
+                        "the saved boundary.")
     args = p.parse_args(argv)
     config = ExperimentConfig(
         dataset_path=args.dataset_path, area_name=args.area_name,
@@ -264,7 +270,8 @@ def main(argv=None):
         output_dir=args.output_dir, n_estimators=args.n_estimators,
         test_size=args.test_size, random_state=args.random_state,
         cv_folds=args.cv_folds, J=args.J, L=args.L,
-        batch_size=args.batch_size, scattering_mode=args.scattering_mode)
+        batch_size=args.batch_size, scattering_mode=args.scattering_mode,
+        boundary=args.boundary)
     report = run_experiment(config)
     print(f"Saved artifacts to {config.output_dir}")
     return report

@@ -43,13 +43,23 @@ def save_artifacts(output_dir, model: TreeEnsembleClassifier,
                    selection: SelectionModel, report: dict) -> None:
     os.makedirs(output_dir, exist_ok=True)
     f = model.forest_
+    # Stamp the feature-extraction axes into the model bundle itself (in
+    # addition to the report config) so the artifact stays self-describing
+    # even when served without its report JSON: a cell trained with
+    # boundary="periodic" must never be silently served reflect features
+    # (the reference's own train/infer mismatch defect class, reference:
+    # src/inference/inference.py:277-280).
+    cfg = report.get("config", {})
     np.savez(os.path.join(output_dir, MODEL_NAME),
              feature=f.feature, threshold=f.threshold, left=f.left,
              right=f.right, is_leaf=f.is_leaf, probs=f.probs,
              classes=np.asarray(model.classes_, dtype=np.str_),
              n_estimators=np.int64(model.n_estimators),
              random_state=np.int64(model.random_state),
-             max_depth_used=np.int64(model.max_depth_used_ or 0))
+             max_depth_used=np.int64(model.max_depth_used_ or 0),
+             extraction_J=np.int64(cfg.get("J", 2)),
+             extraction_L=np.int64(cfg.get("L", 8)),
+             extraction_boundary=np.str_(cfg.get("boundary", "reflect")))
     with open(os.path.join(output_dir, SELECTION_NAME), "w") as fp:
         json.dump(selection.to_dict(), fp)
     with open(os.path.join(output_dir, FEATURES_NAME), "w") as fp:
@@ -60,7 +70,6 @@ def save_artifacts(output_dir, model: TreeEnsembleClassifier,
         }, fp, indent=2)
     with open(os.path.join(output_dir, REPORT_NAME), "w") as fp:
         json.dump(report, fp, indent=2)
-    cfg = report.get("config", {})
     perf = report.get("performance", {})
     usage = f"""# Model Usage Instructions
 
@@ -73,7 +82,9 @@ model, selection = load_artifacts({output_dir!r})
 ## Making Predictions
 ```python
 from wst_tpu.features import FeatureExtractor
-fx = FeatureExtractor({cfg.get('feature_method', 'hybrid')!r}, H, W)
+fx = FeatureExtractor({cfg.get('feature_method', 'hybrid')!r}, H, W,
+                      J={cfg.get('J', 2)}, L={cfg.get('L', 8)},
+                      boundary={cfg.get('boundary', 'reflect')!r})
 X = fx.extract_numpy(images)          # (N, C, H, W) float32 in [0, 1]
 predictions = model.predict(selection.transform(X))
 probabilities = model.predict_proba(selection.transform(X))
@@ -81,6 +92,7 @@ probabilities = model.predict_proba(selection.transform(X))
 
 ## Model Details
 - **Feature Method**: {_METHOD_DESC.get(cfg.get('feature_method'), cfg.get('feature_method'))}
+- **Scattering**: J={cfg.get('J', 2)}, L={cfg.get('L', 8)}, boundary={cfg.get('boundary', 'reflect')!r} — inference features MUST be extracted with this boundary
 - **Selected Features**: {selection.selected_features}
 - **Model**: TPU tree ensemble with {cfg.get('n_estimators')} estimators
 - **Test Accuracy**: {perf.get('test_accuracy', float('nan')):.4f}
@@ -101,11 +113,20 @@ def load_artifacts(model_dir) -> Tuple[TreeEnsembleClassifier,
         random_state = int(z["random_state"])
         max_depth_used = int(z["max_depth_used"]) if "max_depth_used" in z \
             else 0
+        # Pre-round-5 bundles lack the extraction stamp; they were all
+        # trained with the defaults.
+        extraction = {
+            "J": int(z["extraction_J"]) if "extraction_J" in z else 2,
+            "L": int(z["extraction_L"]) if "extraction_L" in z else 8,
+            "boundary": (str(z["extraction_boundary"])
+                         if "extraction_boundary" in z else "reflect"),
+        }
     model = TreeEnsembleClassifier(n_estimators=n_estimators,
                                    random_state=random_state)
     model.forest_ = forest
     model.classes_ = classes
     model.max_depth_used_ = max_depth_used or None
+    model.extraction_config_ = extraction
     with open(os.path.join(model_dir, SELECTION_NAME)) as fp:
         selection = SelectionModel.from_dict(json.load(fp))
     return model, selection
@@ -373,4 +394,26 @@ def export_joblib(model_dir, out_dir=None) -> dict:
         if os.path.exists(names_src):
             import shutil
             shutil.copy(names_src, os.path.join(out_dir, FEATURES_NAME))
+    # Stamp the extraction axes into the exported bundle's usage notes: a
+    # consumer of the joblib trio (e.g. the reference's inference.py) has
+    # no NPZ header to read, so the boundary contract must travel in the
+    # human-readable instructions.
+    ex = getattr(model, "extraction_config_",
+                 {"J": 2, "L": 8, "boundary": "reflect"})
+    usage_path = os.path.join(out_dir, USAGE_NAME)
+    stamp = (f"\n## Exported joblib bundle\n"
+             f"- **Scattering**: J={ex['J']}, L={ex['L']}, "
+             f"boundary={ex['boundary']!r}\n"
+             f"- Inference features MUST be extracted with "
+             f"boundary={ex['boundary']!r} (J/L as above); serving this "
+             f"model on features from any other boundary silently "
+             f"mismatches the training distribution.\n")
+    existing = ""
+    if os.path.exists(usage_path):
+        with open(usage_path) as fp:
+            existing = fp.read()
+    if "## Exported joblib bundle" not in existing:
+        with open(usage_path, "w") as fp:
+            fp.write(existing + stamp)
+    paths[USAGE_NAME] = usage_path
     return paths

@@ -70,6 +70,16 @@ class ExperimentConfig:
             "test_size": self.test_size,
             "random_state": self.random_state,
             "cv_folds": self.cv_folds,
+            # TPU-native extraction axes (schema superset — reference
+            # configs lack these keys and default on load).  Serializing
+            # them makes every artifact self-describing: inference
+            # reconstructs its extractor from the saved config instead of
+            # assuming defaults, closing the train/serve feature-mismatch
+            # defect class the reference shipped (reference:
+            # src/inference/inference.py:277-280, the 486/492 wst bug).
+            "J": self.J,
+            "L": self.L,
+            "boundary": self.boundary,
         }
 
 
