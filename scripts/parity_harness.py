@@ -458,7 +458,11 @@ def run_replication(parts_dir="reports/parity_parts", verbose=True):
             "pooled standard errors overstate precision; this replication "
             "reruns the full suite with disjoint seeds (1000+) at deep "
             "counts so pooled and per-class deltas are asserted at the "
-            "BASELINE 0.5% budget itself.")
+            "BASELINE 0.5% budget itself.  Caveat: the replication reuses "
+            "the per-area image pools (blend seed 7), so only the "
+            "split/bootstrap-seed half of the campaign correlation is "
+            "removed; the suites_combined estimate remains correlated "
+            "through the imagery draw.")
         out[suite] = agg
         if verbose:
             pc = " ".join(f"{c}:{v:+.4f}" for c, v in
@@ -549,7 +553,12 @@ def combine_campaigns(suites: dict, replication: dict) -> dict:
     shared-seed main grid and the disjoint-seed replication): the union of
     cell measurements is the best available estimate of each suite's
     parity, and is what the tightened 0.015 per-class floor is asserted
-    on (tests/test_e2e_parity.py)."""
+    on (tests/test_e2e_parity.py).
+
+    Independence caveat: the campaigns draw disjoint split/bootstrap
+    seeds but share the per-area image pools (blend seed 7), so the
+    combined estimate is independent in the seed dimension only — the
+    imagery-draw component of the variance is common to both campaigns."""
     out = {}
     for name, s in suites.items():
         merged = {f"grid:{k}": v for k, v in s["cells"].items()}
@@ -583,9 +592,15 @@ def _phase_plans():
     }
 
 
+# Frozen literals of the round-2/3 plans (NOT recomputed from the live
+# constants — that would make the "legacy file accepted only while the
+# current plan equals the legacy one" check vacuous: a plan change could
+# never invalidate a no-plan legacy file).
 LEGACY_PLANS = {
-    "families": _plan_fingerprint(seeds=FAMILY_SEEDS, hw=HW),
-    "suites": _plan_fingerprint(seeds=SUITE_SEEDS, hw=HW),
+    "families": '{"hw": 64, "seeds": '
+                '{"mini": 400, "original": 20, "small": 160}}',
+    "suites": '{"hw": 64, "seeds": '
+              '{"mini": 100, "original": 10, "small": 40}}',
 }
 
 
@@ -653,7 +668,8 @@ if __name__ == "__main__":
         "families": run_all,
         "bias_bound": run_bias_bound,
         "suites": lambda: run_suites(
-            checkpoint=f"{PARTS_DIR}/suite_cells.json"),
+            checkpoint=f"{PARTS_DIR}/suite_cells.json",
+            plan=plans["suites"]),
         "replication": run_replication,
         "factorial": lambda: run_factorial(
             checkpoint=f"{PARTS_DIR}/factorial_cells.json",
