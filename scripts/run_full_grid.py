@@ -36,6 +36,14 @@ def main(argv=None):
     p.add_argument("--families", nargs="*", default=None,
                    help="noise families to run (default: all five)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--boundary", default="reflect",
+                   choices=["reflect", "periodic"],
+                   help="Scattering boundary for the whole corpus "
+                        "(periodic = the TPU fast mode; used for the "
+                        "periodic-mode science-equivalence corpus)")
+    p.add_argument("--skip-analysis", action="store_true",
+                   help="Generate the experiment corpus only (no "
+                        "analyzer reports/plots)")
     args = p.parse_args(argv)
 
     exp_root = os.path.join(args.out, "experiments")
@@ -73,7 +81,7 @@ def main(argv=None):
             reports = run_matrix_suite(
                 images, labels, exp_root, area, size,
                 dataset_path=ds_path, ks=args.k, families=args.families,
-                seed=args.seed, verbose=False)
+                seed=args.seed, boundary=args.boundary, verbose=False)
             n_cells += len(reports)
             print(f"[grid] {area}/{size}: {len(reports)} cells in "
                   f"{time.time() - t0:.1f}s ({n_cells} total)", flush=True)
@@ -81,7 +89,8 @@ def main(argv=None):
     print(f"[grid] corpus complete: {n_cells} cells in "
           f"{(time.time() - t_start) / 60:.1f} min", flush=True)
 
-    for family in sorted(args.families or NOISE_FAMILIES):
+    for family in ([] if args.skip_analysis
+                   else sorted(args.families or NOISE_FAMILIES)):
         t0 = time.time()
         analyzer = NoiseExperimentAnalyzer(family, exp_root)
         res = analyzer.create_complete_analysis(

@@ -49,6 +49,7 @@ def run_matrix_suite(images: np.ndarray, labels: np.ndarray,
                      families: Optional[Sequence[str]] = None,
                      J: int = 2, L: int = 8, seed: int = 42,
                      mode: Optional[str] = None,
+                     boundary: str = "reflect",
                      cell_batching: bool = True,
                      verbose: bool = True) -> List[dict]:
     """images: (B, 3, H, W) float32 in [0,1]; one area/size slice.
@@ -66,7 +67,8 @@ def run_matrix_suite(images: np.ndarray, labels: np.ndarray,
     H, W = images.shape[-2:]
     u8 = np.clip(images * 255.0, 0, 255).astype(np.uint8).transpose(
         0, 2, 3, 1)
-    pipe = NoiseMatrixPipeline("hybrid", H, W, J, L, mode=mode)
+    pipe = NoiseMatrixPipeline("hybrid", H, W, J, L, mode=mode,
+                               boundary=boundary)
     per_condition = pipe.run(u8, seed=seed)
     if families is not None:
         keep = {"clean"} | {c for c in per_condition
@@ -79,7 +81,7 @@ def run_matrix_suite(images: np.ndarray, labels: np.ndarray,
         return _run_cells_batched(per_condition, labels, out_root,
                                   area_name, dataset_type, dataset_path,
                                   methods, ks, J, L, H, W, all_names,
-                                  verbose)
+                                  boundary, verbose)
     reports = []
     for condition, hybrid_X in per_condition.items():
         cond_dir = "rgb_clean" if condition == "clean" else condition
@@ -99,7 +101,8 @@ def run_matrix_suite(images: np.ndarray, labels: np.ndarray,
                                   or os.path.join(f"<device:{condition}>",
                                                   dataset_type)),
                     area_name=area_name, feature_method=method,
-                    k_features=k, output_dir=out_dir, J=J, L=L)
+                    k_features=k, output_dir=out_dir, J=J, L=L,
+                    boundary=boundary)
                 X_sel, selection = fit_select_kbest(X, labels, names, k=k)
                 model, perf = train_final_model(X_sel, labels, cfg)
                 counts = Counter(labels.tolist())
@@ -148,7 +151,7 @@ def run_matrix_suite(images: np.ndarray, labels: np.ndarray,
 
 def _run_cells_batched(per_condition, labels, out_root, area_name,
                        dataset_type, dataset_path, methods, ks, J, L, H, W,
-                       all_names, verbose) -> List[dict]:
+                       all_names, boundary, verbose) -> List[dict]:
     """Dispatch-batched classifier stage (see ``run_matrix_suite``)."""
     from wst_tpu.features.selection import (SelectionModel,
                                             fit_standard_scaler,
@@ -192,7 +195,7 @@ def _run_cells_batched(per_condition, labels, out_root, area_name,
             area_name=area_name, feature_method=method, k_features=k,
             output_dir=os.path.join(out_root, cond_dir, area_name,
                                     dataset_type, f"k{k}", method),
-            J=J, L=L)
+            J=J, L=L, boundary=boundary)
 
     # All (condition, method) cells of one k share the fit shapes: every
     # (final + fold) forest of the k-group runs in one vmapped dispatch.
@@ -261,6 +264,8 @@ def main(argv=None):
     p.add_argument("--k", nargs="*", type=int, default=[2, 5, 10, 20])
     p.add_argument("--families", nargs="*", default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--boundary", default="reflect",
+                   choices=["reflect", "periodic"])
     args = p.parse_args(argv)
 
     images, labels, _ = load_area_images_and_labels(args.dataset_path,
@@ -269,7 +274,7 @@ def main(argv=None):
     reports = run_matrix_suite(
         images, labels, args.out_root, args.area_name, dataset_type,
         dataset_path=args.dataset_path, methods=args.methods, ks=args.k,
-        families=args.families, seed=args.seed)
+        families=args.families, seed=args.seed, boundary=args.boundary)
     print(f"Completed {len(reports)} cells -> {args.out_root}")
 
 
