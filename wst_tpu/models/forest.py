@@ -281,8 +281,16 @@ def _fit_forest_impl(binned, thr, nthr, vmin, vmax, y, seed, *, n_trees,
                  < nthr[:, None])              # (F, B-1) candidate mask
 
     def fit_one(key):
+        # Split BEFORE the bootstrap draw: reusing one key for both
+        # randint and the downstream split chain makes the round-0
+        # feature-subsample key bit-identical to the threefry words that
+        # produced bootstrap indices 2 and 3 (counter overlap), i.e. the
+        # in-bag draw and the root feature subset become deterministically
+        # coupled — a measured +0.02 ensemble-CV bias vs sklearn at the
+        # n=12, 3-tree mini regime.
+        kboot, key = jax.random.split(key)
         if bootstrap:
-            idx = jax.random.randint(key, (n,), 0, n)
+            idx = jax.random.randint(kboot, (n,), 0, n)
             w = jnp.zeros(n, jnp.float32).at[idx].add(1.0)
         else:
             w = jnp.ones(n, jnp.float32)
@@ -362,26 +370,46 @@ def _fit_forest_impl(binned, thr, nthr, vmin, vmax, y, seed, *, n_trees,
             ok = ((cp >= min_samples_leaf) & (rp >= min_samples_leaf)
                   & (nl > 0.0) & (nr > 0.0)
                   & valid_thr[None])
-            # Per-node random feature subset of size max_features, with
-            # sklearn's two semantics that matter at science-dataset scale
-            # (measured: they account for a per-family CV bias up to ~0.07
-            # on correlated WST features):
-            # 1. Features CONSTANT within the node do not consume the
-            #    max_features budget (sklearn's splitter skips them in its
-            #    Fisher-Yates scan without counting them) — so the subset
-            #    is the max_features smallest u among non-constant features.
+            # Per-node random feature subset, reproducing sklearn's
+            # Fisher-Yates budget semantics exactly (sklearn 1.7
+            # _splitter.pyx node_split_best loop; the subsample draw u is
+            # the visit order, ascending = drawn first):
+            # 1. EVERY draw consumes one of the max_features budget slots —
+            #    including features that turn out node-CONSTANT (sklearn
+            #    increments n_visited_features before the constancy check).
+            #    The only escape is the all-constants clause
+            #    (n_visited <= n_found + n_drawn): the loop keeps drawing
+            #    while every visit so far was constant, so at least one
+            #    non-constant feature is always evaluated when one exists.
+            #    Hence: visits m = max(max_features, rank of the first
+            #    non-constant + 1); evaluated = non-constant features among
+            #    the first m ranks.  When no drawn feature is node-constant
+            #    this reduces BITWISE to "max_features smallest u among
+            #    non-constants" (the round-3 rule, correct only in that
+            #    regime — the round-5 family_128 bias, +0.026 CV at
+            #    mini/128px where 59% of nodes hold a constant selected
+            #    feature, came from never charging constants to the
+            #    budget).
             # 2. Ties across features break by VISIT ORDER (first strictly
-            #    better wins), and the visit order IS the subsample draw —
-            #    so among equal-proxy features the smallest u wins, exactly
-            #    sklearn's uniform-among-ties distribution, not a fixed
-            #    lowest-index preference.  Within a feature sklearn keeps
-            #    the LOWEST tied threshold (strict-improvement scan in
-            #    increasing order), which argmax's first-max matches.
+            #    better wins) — among equal-proxy features the smallest u
+            #    wins, exactly sklearn's uniform-among-ties distribution,
+            #    not a fixed lowest-index preference.  Within a feature
+            #    sklearn keeps the LOWEST tied threshold (strict-
+            #    improvement scan in increasing order), which argmax's
+            #    first-max matches.
+            # Constancy here is exact value equality (>= 2 occupied bins);
+            # sklearn uses spread <= FEATURE_THRESHOLD (1e-7), which at
+            # float32/standardized scale collapses to the same test (1 ulp
+            # of 1.0 = 1.2e-7) — measured zero near-duplicate (<=1e-7,
+            # nonzero) gaps on the science feature distributions.
             u = jax.random.uniform(ksub, (max_active, F))
             nonconst = jnp.sum((phist > 0).astype(jnp.int32), axis=2) >= 2
-            u_eff = jnp.where(nonconst, u, jnp.inf)          # (K, F)
-            kth = jnp.sort(u_eff, axis=1)[:, max_features - 1]
-            fmask = u_eff <= kth[:, None]                    # (K, F)
+            rank = jnp.argsort(jnp.argsort(u, axis=1), axis=1)  # visit order
+            first_nc_u = jnp.min(jnp.where(nonconst, u, jnp.inf), axis=1)
+            first_nc_rank = jnp.sum((u < first_nc_u[:, None]).astype(
+                jnp.int32), axis=1)                  # (K,)
+            m = jnp.maximum(max_features, first_nc_rank + 1)
+            fmask = (rank < m[:, None]) & nonconst   # (K, F)
             score = jnp.where(ok & fmask[:, :, None], proxy, -jnp.inf)
             feat_best = jnp.max(score, axis=2)               # (K, F)
             best_gain = jnp.max(feat_best, axis=1)           # (K,)
