@@ -206,6 +206,28 @@ def test_artifact_per_suite_pooled_parity(artifact):
             assert abs(d) <= 0.015, (name, cls, d)
 
 
+def test_periodic_equivalence_artifact():
+    """Round-4 VERDICT directive #7: the TPU fast mode (periodic
+    boundary) reproduces the science at corpus scale — the full
+    1,512-cell grid re-run with boundary='periodic' agrees with the
+    reflect corpus within 0.01 on every marginal aggregate-accuracy row
+    (scripts/periodic_equivalence.py)."""
+    path = os.path.join(os.path.dirname(__file__), "..", "reports",
+                        "PERIODIC_EQUIVALENCE.json")
+    assert os.path.exists(path), "run scripts/periodic_equivalence.py"
+    with open(path) as f:
+        o = json.load(f)
+    assert o["n_cells"] == 1512
+    assert o["pass"] and o["worst_abs_row_delta"] <= 0.01, o["worst_row"]
+    # internal control: advanced_stats has no scattering stage, so its
+    # rows must be exactly 0 (identical inputs, identical pipeline)
+    ctl = o["rows"]["method/advanced_stats"]
+    assert ctl["d_cv"] == 0.0 and ctl["d_test"] == 0.0, ctl
+    # per-cell distribution: mean ~0 and bounded spread
+    pc = o["per_cell_cv_delta_scattering"]
+    assert abs(pc["mean"]) <= 0.005 and pc["p95_abs"] <= 0.05, pc
+
+
 def test_artifact_factorial(artifact):
     """Round-3 directive #2: the reference's method x k axes.  Selection
     parity must hold at every k (k=2 is the tie-break stress case) and
