@@ -137,18 +137,22 @@ def test_artifact_families_pooled(artifact):
 
 
 def test_artifact_bias_bound(artifact):
-    """Round-3 directive #3: per-family bias bounded with the CI UNDER the
-    gate — |bias| <= 0.01 outright, ci95 <= 0.01 — so the gate cannot be
-    satisfied by variance.  Seed counts: the noisy-but-cheap mini family
-    gets 1000 seeds, the small families 400."""
+    """Round-3 directive #3 + round-4 directive #6: per-family bias
+    bounded with the CI UNDER the gate — |bias| <= 0.01 outright,
+    ci95 <= 0.01 — for BOTH the CV delta and the test-split delta, so
+    neither gate can be satisfied by variance.  Seed counts are sized to
+    the test-split noise (d_test_std ~0.29 at mini -> 3400 seeds; the
+    small families' ~0.10 std reaches gate precision at 400)."""
     bb = artifact["bias_bound"]
     assert len(bb) >= 3
-    min_seeds = {"mini": 1000, "small": 400, "original": 20}
+    min_seeds = {"mini": 3400, "small": 400, "original": 20}
     for fam, r in bb.items():
         size = fam.split("/")[1]
         assert r["n_seeds"] >= min_seeds[size], (fam, r["n_seeds"])
         assert r["ci95"] <= 0.01, (fam, r)
         assert abs(r["d_cv_mean"]) <= 0.01, (fam, r)
+        assert r["ci95_test"] <= 0.01, (fam, r)
+        assert abs(r["d_test_mean"]) <= 0.01, (fam, r)
 
 
 def test_artifact_six_suites_complete(artifact):
@@ -246,12 +250,53 @@ def test_artifact_factorial(artifact):
 
 
 def test_artifact_family_128(artifact):
-    """Round-3 directive #9: forest parity on the production 128x128
-    feature distribution (the main grids extract at 64x64)."""
+    """Round-4 directive #2: forest parity on the production 128x128
+    feature distribution, ALL THREE areas at bias_bound seed depth
+    (1000/400/40 per mini/small/original), gated per family on the
+    DECOUPLED-sklearn oracle at the same |d| <= 0.01 AND ci95 <= 0.01
+    form the 64x64 families pass.
+
+    Why two oracles: the 128x128 selected features include exact-
+    duplicate value columns (59% of tree nodes hold a node-constant
+    feature vs 2% at 64x64), and at that tie-heavy regime stock
+    sklearn's bootstrap<->splitter seed coupling (one tree seed feeds
+    both streams; the first MT19937 output determines bootstrap idx[0]
+    AND rand_r_state) measurably depresses its own CV accuracy by
+    ~1.5-2% — reports/FAMILY128_BIAS.md.  The decoupled oracle
+    reproduces sklearn's tree seeds and bootstrap draws exactly and
+    changes only the splitter seed, so its delta measures splitter-
+    semantics parity; the stock delta is additionally bounded by the
+    measured coupling artifact."""
     fams = artifact["family_128"]
-    assert len(fams) == 3
+    assert len(fams) == 9                      # 3 areas x 3 sizes
+    min_seeds = {"mini": 1000, "small": 400, "original": 40}
     for fam, r in fams.items():
+        size = fam.split("/")[1]
+        assert r["n_seeds"] >= min_seeds[size], (fam, r["n_seeds"])
         assert r["selection_overlap"] == 10, fam
-        assert abs(r["d_cv_mean"]) <= 0.05, (fam, r["d_cv_mean"])
-    pooled = np.mean([r["d_cv_mean"] for r in fams.values()])
-    assert abs(pooled) <= 0.01, pooled
+        # semantics gate: decoupled oracle, bias_bound form
+        ci = 1.96 * r["d_cv_dec_std"] / np.sqrt(r["n_seeds"])
+        assert ci <= 0.01, (fam, ci)
+        assert abs(r["d_cv_dec_mean"]) <= 0.01, (fam, r["d_cv_dec_mean"])
+        # stock-oracle delta bounded by the documented coupling artifact
+        assert abs(r["d_cv_mean"]) <= 0.04, (fam, r["d_cv_mean"])
+        gap = r["d_cv_mean"] - r["d_cv_dec_mean"]
+        assert -0.01 <= gap <= 0.04, (fam, gap)
+
+
+def test_artifact_factorial_replication(artifact):
+    """Round-4 directive #5: the factorial's edge cells — wst/k20 (the
+    only 96-seed cell ~2 SE above zero) and the three tie-heaviest k=2
+    cells — replicated with >= 400 DISJOINT seeds per cell and asserted
+    at the 0.005 budget with the CI under it."""
+    rep = artifact["factorial_replication"]
+    assert int(rep["seeds"].split("-")[0]) >= 1000   # disjoint seeds
+    groups = rep["by_method_k"]
+    assert set(groups) == {"wst/k20", "advanced_stats/k2", "wst/k2",
+                           "hybrid/k2"}
+    for name, g in groups.items():
+        assert g["n_cells"] == 3, name
+        assert g["n_seeds_total"] >= 3 * 400, (name, g)
+        assert g["min_selection_overlap"] == g["k"], (name, g)
+        assert g["d_cv_ci95"] <= 0.005, (name, g)
+        assert abs(g["d_cv_pooled"]) <= 0.005, (name, g)
