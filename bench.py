@@ -104,18 +104,23 @@ def main():
         # asymptote (reports/SCALING_tpu_batch.json, 2026-08-21:
         # 14.9k@512, 15.5k@1024, 16.0k@3072) — b3072 is the measured
         # knee (578 MB input, well inside HBM).
-        plan += [("pallas_periodic_tall2_b3072",
+        # bd2 first: the round-5 block-diagonal MXU-tile-exact layout
+        # (17,953 patches/s measured vs tall2's 15.9k — every DFT matmul
+        # fills both the 128-deep contraction and the 128-lane tile).
+        plan += [("pallas_periodic_bd2_b3072",
+                  lambda: bench_pallas(3072, iters, "periodic", "bd2")),
+                 ("pallas_periodic_tall2_b3072",
                   lambda: bench_pallas(3072, iters, "periodic", "tall2")),
-                 ("pallas_periodic_tall2_b512",
-                  lambda: bench_pallas(512, iters, "periodic", "tall2")),
-                 (f"pallas_periodic_tall2_b{batch}",
-                  lambda: bench_pallas(batch, iters, "periodic", "tall2")),
+                 ("pallas_periodic_bd2_b512",
+                  lambda: bench_pallas(512, iters, "periodic", "bd2")),
                  (f"pallas_reflect_b{batch}",
                   lambda: bench_pallas(batch, iters, "reflect")),
                  # BASELINE config 1's shape (64x64 patches): measured as a
-                 # secondary datum; excluded from the 128px headline.
-                 ("pallas_periodic_64px_b512",
-                  lambda: bench_pallas(512, iters, "periodic", "tall2",
+                 # secondary datum; excluded from the 128px headline.  bd8
+                 # collapses the 64/32/16-point stages' 2-8x tile padding
+                 # (54.5-56.1k measured vs tall2's 26.4k).
+                 ("pallas_periodic_64px_bd8_b2048",
+                  lambda: bench_pallas(2048, iters, "periodic", "bd8",
                                        h=64, w=64))]
 
     candidates = {}
@@ -230,6 +235,16 @@ def _emit(candidates, platform="tpu"):
             line["reflect_mfu"] = mfu["reflect"]["mfu"]
     if c64:
         line["value_64px"] = round(max(c64.values()), 2)
+        try:
+            from wst_tpu.utils.profiling import flop_estimate_scattering
+            f64 = flop_estimate_scattering(2, L, 64, 64, "periodic") * 3
+            tf64 = max(c64.values()) * f64 / 1e12
+            line["value_64px_tflops_sustained"] = round(tf64, 2)
+            if peak:
+                line["value_64px_mfu"] = round(tf64 / peak, 4)
+        except Exception as e:
+            print(f"# 64px roofline accounting failed: {e}",
+                  file=sys.stderr)
     print(json.dumps(line), flush=True)
 
 

@@ -52,6 +52,37 @@ def test_fused_tall_layout(interpreted_pallas, rng):
     assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
 
 
+def test_fused_bd_layout(interpreted_pallas, rng):
+    """Block-diagonal MXU-tile-exact layout (round 5): grouped left/right
+    DFT matmuls match the oracle on the periodic grid, incl. the
+    odd-batch padding path (5 images -> 2 grid programs of B=4) and the
+    orientation-grouped pooling lane slices."""
+    from wst_tpu.ops.pallas.fused_scattering import fused_scattering_j2
+    from wst_tpu.ops.scattering import Scattering2D
+
+    H = W = 32
+    x = rng.random((5, H, W)).astype(np.float32)
+    want = np.asarray(Scattering2D(2, 8, H, W, mode="fft",
+                                   boundary="periodic").features(x))
+    for layout in ("bd2", "bd4"):
+        got = np.asarray(fused_scattering_j2(
+            8, H, W, boundary="periodic", layout=layout).features(x))
+        assert got.shape == (5, 162)
+        assert np.allclose(got, want, atol=1e-4), (
+            layout, np.abs(got - want).max())
+
+
+def test_fused_bd_rejects_reflect_grid(interpreted_pallas):
+    """The reflect 17*2^k grids are not power-of-2; bd refuses instead of
+    mis-slicing."""
+    import pytest
+
+    from wst_tpu.ops.pallas.fused_scattering import fused_scattering_j2
+
+    with pytest.raises(ValueError, match="power-of-2"):
+        fused_scattering_j2(8, 128, 128, boundary="reflect", layout="bd2")
+
+
 def test_fused_l4(interpreted_pallas, rng):
     from wst_tpu.ops.pallas.fused_scattering import fused_scattering_j2
     from wst_tpu.ops.scattering import Scattering2D

@@ -316,17 +316,25 @@ class FusedScattering:
         return out.reshape(lead + out.shape[1:])
 
 
-def auto_layout(J: int, boundary: str) -> str:
-    """Fastest measured layout per configuration (v5e, 128x128, L=8).
+def auto_layout(J: int, boundary: str, H: int = 128) -> str:
+    """Fastest measured layout per configuration (v5e, L=8).
 
-    J=2: tall2-periodic 12,080 patches/s, but on the 136-point reflect grid
-    the stacked working set loses to wide (6,178 vs 6,548).  Deeper J shifts
-    work to coarse resolutions where taller operands amortize more
-    column-side DFTs: J=4 periodic tall8 5,948 > tall4 5,412 > tall2 4,614
-    > wide 3,431; reflect tall4 3,094 > tall2 2,814 > wide 2,362.
+    J=2 periodic: the round-5 block-diagonal layouts dominate — they fill
+    both the 128-deep MXU contraction and the 128-lane output tile on
+    every DFT matmul (fused_scattering._bd_groups): at 128 px bd2 17,953
+    patches/s > tall2 15,9xx; at <=64 px bd8 54,554-56,079 > tall4 ~35k >
+    tall2 ~27k (the 64/32/16-point stages padded 2-8x without it).  The
+    reflect 17*2^k grids are not power-of-2 so bd does not apply; wide
+    remains reflect-optimal (tall2-reflect measured 1,292 — VMEM spill).
+    Deeper J shifts work to coarse resolutions where taller operands
+    amortize more column-side DFTs: J=4 periodic tall8 5,948 > tall4
+    5,412 > tall2 4,614 > wide 3,431; reflect tall4 3,094 > tall2 2,814 >
+    wide 2,362.
     """
     if J == 2:
-        return "tall2" if boundary == "periodic" else "wide"
+        if boundary == "periodic":
+            return "bd2" if H >= 128 else "bd8"
+        return "wide"
     return "tall8" if boundary == "periodic" else "tall4"
 
 
@@ -335,7 +343,7 @@ def fused_scattering(J: int, L: int, H: int, W: int,
                      layout: str = "auto"):
     """Fused-kernel factory: tuned J=2 kernel, general kernel otherwise."""
     if layout == "auto":
-        layout = auto_layout(J, boundary)
+        layout = auto_layout(J, boundary, min(H, W))
     if J == 2:
         from wst_tpu.ops.pallas.fused_scattering import fused_scattering_j2
         return fused_scattering_j2(L, H, W, precision, boundary, layout)

@@ -338,6 +338,274 @@ def _make_kernel_batched(L: int, n: int, n_coeffs: int,
     return kernel
 
 
+def _blockdiag(m: np.ndarray, g: int) -> np.ndarray:
+    """g-fold block-diagonal replication of a 2-D matrix."""
+    if g == 1:
+        return np.asarray(m, np.float32)
+    r, c = m.shape
+    out = np.zeros((g * r, g * c), np.float32)
+    for i in range(g):
+        out[i * r:(i + 1) * r, i * c:(i + 1) * c] = m
+    return out
+
+
+def _bd_groups(n: int, L: int, B: int):
+    """MXU-tile group factors for the block-diagonal layout.
+
+    gL(m_in): images grouped per LEFT multiply so the contraction depth
+    g*m_in fills the 128-deep MXU tile; gT(m_in, m_out): orientations
+    grouped per RIGHT multiply so BOTH the contraction (g*m_in) and the
+    output lanes (g*m_out) fill their 128 tiles.  Zero blocks issue the
+    same FLOPs the tile padding would have wasted anyway — the win is
+    g-fold fewer ops, each fully tile-utilized (e.g. the 32->16 pooling
+    right-multiply at 64 px goes from 8 ops at 4x contraction + 8x lane
+    waste to 1 op at none)."""
+    nh, nq = n // 2, n // 4
+    if n & (n - 1) or n < 16:
+        raise ValueError(
+            f"bd layout needs a power-of-2 padded grid (got n={n}); the "
+            f"reflect boundary's 17*2^k grids stay on the wide/tall "
+            f"layouts")
+
+    def _floor_pow2(v):
+        return 1 << (max(1, v).bit_length() - 1)
+
+    def gL(m_in):
+        # image-group factors must divide B (largest power of 2 in B)
+        return min(B & -B, _floor_pow2(max(1, 128 // m_in)))
+
+    def gT(m_in, m_out):
+        # orientation-group factors must divide L (largest power of 2 in L)
+        return min(L & -L,
+                   _floor_pow2(max(1, 128 // m_in, 128 // m_out)))
+
+    return {"gL_n": gL(n), "gL_h": gL(nh),
+            "gT_nn": gT(n, n), "gT_hh": gT(nh, nh),
+            "gT_nh": gT(n, nh), "gT_nq": gT(n, nq), "gT_hq": gT(nh, nq)}
+
+
+def _build_bd_constants(consts, n: int, L: int, B: int):
+    """Block-diagonal parameter set for :func:`_make_kernel_bd`."""
+    c = {k: np.asarray(v, np.float32) for k, v in consts.items()}
+    g = _bd_groups(n, L, B)
+    bd = {
+        # elementwise banks + ungrouped fft-column / S0-right bases
+        "psi0": c["psi0"], "psi1": c["psi1"],
+        "phi0": c["phi0"], "phi1": c["phi1"],
+        "c_n": c["c_n"], "s_n": c["s_n"],
+        "gqT_c": c["gq_c"].T.copy(), "gqT_s": c["gq_s"].T.copy(),
+        # LEFT (image-grouped) matrices: contraction = m_in
+        "Lcn": _blockdiag(c["c_n"], g["gL_n"]),
+        "Lsn": _blockdiag(c["s_n"], g["gL_n"]),
+        "Lch": _blockdiag(c["c_h"], g["gL_h"]),
+        "Lsh": _blockdiag(c["s_h"], g["gL_h"]),
+        "Lgq_c": _blockdiag(c["gq_c"], g["gL_n"]),
+        "Lgq_s": _blockdiag(c["gq_s"], g["gL_n"]),
+        "Lgh_c": _blockdiag(c["gh_c"], g["gL_n"]),
+        "Lgh_s": _blockdiag(c["gh_s"], g["gL_n"]),
+        "Lgq2_c": _blockdiag(c["gq2_c"], g["gL_h"]),
+        "Lgq2_s": _blockdiag(c["gq2_s"], g["gL_h"]),
+        # RIGHT (orientation-grouped) transposed matrices
+        "Rcn_c": _blockdiag(c["c_n"].T, g["gT_nn"]),
+        "Rcn_s": _blockdiag(c["s_n"].T, g["gT_nn"]),
+        "Rch_c": _blockdiag(c["c_h"].T, g["gT_hh"]),
+        "Rch_s": _blockdiag(c["s_h"].T, g["gT_hh"]),
+        "Rgh_c": _blockdiag(c["gh_c"].T, g["gT_nh"]),
+        "Rgh_s": _blockdiag(c["gh_s"].T, g["gT_nh"]),
+        "Rgq_c": _blockdiag(c["gq_c"].T, g["gT_nq"]),
+        "Rgq_s": _blockdiag(c["gq_s"].T, g["gT_nq"]),
+        "Rgq2_c": _blockdiag(c["gq2_c"].T, g["gT_hq"]),
+        "Rgq2_s": _blockdiag(c["gq2_s"].T, g["gT_hq"]),
+    }
+    return {k: jnp.asarray(v, jnp.float32) for k, v in bd.items()}, g
+
+
+BD_CONST_ORDER = [
+    "psi0", "psi1", "phi0", "phi1", "c_n", "s_n", "gqT_c", "gqT_s",
+    "Lcn", "Lsn", "Lch", "Lsh", "Lgq_c", "Lgq_s", "Lgh_c", "Lgh_s",
+    "Lgq2_c", "Lgq2_s", "Rcn_c", "Rcn_s", "Rch_c", "Rch_s", "Rgh_c",
+    "Rgh_s", "Rgq_c", "Rgq_s", "Rgq2_c", "Rgq2_s"]
+
+
+def _make_kernel_bd(L: int, n: int, n_coeffs: int, groups,
+                    precision: str = "default", B: int = 4):
+    """Block-diagonal MXU-tile-exact kernel variant ("bd" layout).
+
+    Same tall image-stacking as :func:`_make_kernel_batched`, but every
+    DFT matmul whose contraction or output-lane dimension underfills the
+    128-point MXU tile is replaced by a grouped block-diagonal product
+    that fills both exactly (see :func:`_bd_groups`).  On the 64-px
+    periodic grid (n=64/32/16) this collapses the 2x/4x/8x tile padding
+    of the plain tall layout; on the 128-px grid it recovers the
+    second-order (nh=64) and pooling (nq=32) stages.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    nh, nq = n // 2, n // 4
+    f32 = jnp.float32
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    g = groups
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32, precision=prec)
+
+    idx = {k: i for i, k in enumerate(BD_CONST_ORDER)}
+
+    def kernel(x_ref, *refs):
+        out_ref = refs[-1]
+        crefs = refs[:-1]
+
+        def R(name):
+            return crefs[idx[name]][0]
+
+        def vstack(blocks):
+            return blocks[0] if len(blocks) == 1 else jnp.concatenate(
+                blocks, axis=0)
+
+        def rtile(mat):
+            return mat if B == 1 else pltpu.repeat(mat, B, axis=0)
+
+        psi0cat = rtile(jnp.concatenate(
+            [crefs[idx["psi0"]][0, t] for t in range(L)], axis=1))
+        psi1cat = rtile(jnp.concatenate(
+            [crefs[idx["psi1"]][0, t] for t in range(L)], axis=1))
+        phi0 = rtile(R("phi0"))
+        ph0cat = rtile(pltpu.repeat(R("phi0"), L, axis=1))
+        ph1cat = rtile(pltpu.repeat(R("phi1"), L, axis=1))
+
+        def left_bd(Gc_bd, Gs_bd, Zr, Zi, m_in, m_out, gl):
+            """(B*m_in, X) complex -> (B*m_out, X), image groups of gl."""
+            ars, ais = [], []
+            for q in range(B // gl):
+                zr = Zr[q * gl * m_in:(q + 1) * gl * m_in]
+                zi = Zi[q * gl * m_in:(q + 1) * gl * m_in]
+                ars.append(mm(Gc_bd, zr) - mm(Gs_bd, zi))
+                ais.append(mm(Gc_bd, zi) + mm(Gs_bd, zr))
+            return vstack(ars), vstack(ais)
+
+        def left_bd_real(Gc_bd, Gs_bd, U, m_in, gl):
+            """Real operand: returns (Gc U, -Gs U) grouped."""
+            ars, ais = [], []
+            for q in range(B // gl):
+                u = U[q * gl * m_in:(q + 1) * gl * m_in]
+                ars.append(mm(Gc_bd, u))
+                ais.append(-(mm(Gs_bd, u)))
+            return vstack(ars), vstack(ais)
+
+        def right_bd(ar, ai, GcT_bd, GsT_bd, m_in, m_out, gt, scale):
+            """Lane-grouped right multiply over all L orientation blocks:
+            (rows, L*m_in) -> (rows, L*m_out)."""
+            outs_r, outs_i = [], []
+            for q in range(L // gt):
+                sl = slice(q * gt * m_in, (q + 1) * gt * m_in)
+                a, b = ar[:, sl], ai[:, sl]
+                outs_r.append((mm(a, GcT_bd) - mm(b, GsT_bd)) * scale)
+                outs_i.append((mm(b, GcT_bd) + mm(a, GsT_bd)) * scale)
+            cat_r = jnp.concatenate(outs_r, axis=1) if len(outs_r) > 1 \
+                else outs_r[0]
+            cat_i = jnp.concatenate(outs_i, axis=1) if len(outs_i) > 1 \
+                else outs_i[0]
+            return cat_r, cat_i
+
+        def right_bd_fwd(ar, ai, GcT_bd, GsT_bd, m_in, m_out, gt):
+            """Forward-DFT column side: (a+ib)(C - iS) = (aC+bS) +
+            i(bC-aS) — the S signs flip vs the inverse helper."""
+            outs_r, outs_i = [], []
+            for q in range(L // gt):
+                sl = slice(q * gt * m_in, (q + 1) * gt * m_in)
+                a, b = ar[:, sl], ai[:, sl]
+                outs_r.append(mm(a, GcT_bd) + mm(b, GsT_bd))
+                outs_i.append(mm(b, GcT_bd) - mm(a, GsT_bd))
+            cat_r = jnp.concatenate(outs_r, axis=1) if len(outs_r) > 1 \
+                else outs_r[0]
+            cat_i = jnp.concatenate(outs_i, axis=1) if len(outs_i) > 1 \
+                else outs_i[0]
+            return cat_r, cat_i
+
+        def pool(srcat, base_slot, m_out):
+            """srcat: (B*m_out, L*m_out) pooled maps, lane block per t."""
+            for b in range(B):
+                rows = srcat[b * m_out:(b + 1) * m_out]
+                for t in range(L):
+                    out_ref[b, base_slot + t] = rows[:, t * m_out:
+                                                     (t + 1) * m_out]
+
+        # ---- fft2 of the B input images (rows grouped; cols ungrouped:
+        # a single n-lane spectrum per image has no lateral partner) ----
+        C, S = R("c_n"), R("s_n")
+        xstack = vstack([x_ref[b] for b in range(B)])   # (B*n, n)
+        rr, ri = left_bd_real(R("Lcn"), R("Lsn"), xstack, n, g["gL_n"])
+        Xr = mm(rr, C) + mm(ri, S)
+        Xi = mm(ri, C) - mm(rr, S)
+
+        # ---- S0: phi low-pass, fold-4 iDFT (left grouped, right plain —
+        # one tiny (B*nq, nq) output) ----
+        ar0, ai0 = left_bd(R("Lgq_c"), R("Lgq_s"), Xr * phi0, Xi * phi0,
+                           n, nq, g["gL_n"])
+        s0 = (mm(ar0, R("gqT_c")) - mm(ai0, R("gqT_s"))) / f32(nq * nq)
+        for b in range(B):
+            out_ref[b, 0] = s0[b * nq:(b + 1) * nq]
+
+        slot2 = 1 + 2 * L
+
+        def order1_block(Lc, Ls, RcT, RsT, gt_inv, m1, LCm, LSm, gl_m,
+                         RCmT, RSmT, gt_sp, psicat, phicat,
+                         Lq_c, Lq_s, RqT_c, RqT_s, gt_q, base_slot):
+            """One j1 level for all t1 -> per-t1 V spectra lane-cat."""
+            Qr = pltpu.repeat(Xr, L, axis=1) * psicat
+            Qi = pltpu.repeat(Xi, L, axis=1) * psicat
+            ar, ai = left_bd(Lc, Ls, Qr, Qi, n, m1, g["gL_n"])
+            ur, ui = right_bd(ar, ai, RcT, RsT, n, m1, gt_inv,
+                              f32(1.0 / (m1 * m1)))
+            U1cat = jnp.sqrt(ur * ur + ui * ui)        # (B*m1, L*m1)
+            a, bq = left_bd_real(LCm, LSm, U1cat, m1, gl_m)
+            Vr, Vi = right_bd_fwd(a, bq, RCmT, RSmT, m1, m1, gt_sp)
+            # S1 pooling
+            pr, pi = left_bd(Lq_c, Lq_s, Vr * phicat, Vi * phicat,
+                             m1, nq, gl_m)
+            sr, _si = right_bd(pr, pi, RqT_c, RqT_s, m1, nq, gt_q,
+                               f32(1.0 / (nq * nq)))
+            pool(sr, base_slot, nq)
+            return Vr, Vi
+
+        # j1 = 0 (full res) + its order-2 children.
+        Vr, Vi = order1_block(
+            R("Lcn"), R("Lsn"), R("Rcn_c"), R("Rcn_s"), g["gT_nn"],
+            n, R("Lcn"), R("Lsn"), g["gL_n"], R("Rcn_c"), R("Rcn_s"),
+            g["gT_nn"], psi0cat, ph0cat,
+            R("Lgq_c"), R("Lgq_s"), R("Rgq_c"), R("Rgq_s"), g["gT_nq"], 1)
+        for t1 in range(L):
+            Vr1 = Vr[:, t1 * n:(t1 + 1) * n]           # (B*n, n)
+            Vi1 = Vi[:, t1 * n:(t1 + 1) * n]
+            Qr = pltpu.repeat(Vr1, L, axis=1) * psi1cat
+            Qi = pltpu.repeat(Vi1, L, axis=1) * psi1cat
+            ar, ai = left_bd(R("Lgh_c"), R("Lgh_s"), Qr, Qi, n, nh,
+                             g["gL_n"])
+            ur, ui = right_bd(ar, ai, R("Rgh_c"), R("Rgh_s"), n, nh,
+                              g["gT_nh"], f32(1.0 / (nh * nh)))
+            U2cat = jnp.sqrt(ur * ur + ui * ui)        # (B*nh, L*nh)
+            a, bq = left_bd_real(R("Lch"), R("Lsh"), U2cat, nh, g["gL_h"])
+            Wr, Wi = right_bd_fwd(a, bq, R("Rch_c"), R("Rch_s"), nh, nh,
+                                  g["gT_hh"])
+            pr, pi = left_bd(R("Lgq2_c"), R("Lgq2_s"), Wr * ph1cat,
+                             Wi * ph1cat, nh, nq, g["gL_h"])
+            sr, _si = right_bd(pr, pi, R("Rgq2_c"), R("Rgq2_s"), nh, nq,
+                               g["gT_hq"], f32(1.0 / (nq * nq)))
+            pool(sr, slot2 + t1 * L, nq)
+
+        # j1 = 1.
+        order1_block(
+            R("Lgh_c"), R("Lgh_s"), R("Rgh_c"), R("Rgh_s"), g["gT_nh"],
+            nh, R("Lch"), R("Lsh"), g["gL_h"], R("Rch_c"), R("Rch_s"),
+            g["gT_hh"], psi1cat, ph1cat,
+            R("Lgq2_c"), R("Lgq2_s"), R("Rgq2_c"), R("Rgq2_s"),
+            g["gT_hq"], 1 + L)
+
+    return kernel
+
+
 @functools.lru_cache(maxsize=8)
 def _compiled(L: int, H: int, W: int, precision: str = "default",
               boundary: str = "reflect", layout: str = "wide"):
@@ -348,6 +616,7 @@ def _compiled(L: int, H: int, W: int, precision: str = "default",
     n = bank.M_pad
     nh, nq = n // 2, n // 4
     K = bank.n_coeffs
+    bd_params = None
     if layout == "narrow":
         kernel, B = _make_kernel(L, n, K, precision), 1
     elif layout == "wide":
@@ -355,6 +624,11 @@ def _compiled(L: int, H: int, W: int, precision: str = "default",
     elif layout.startswith("tall"):
         B = int(layout[4:] or 2)
         kernel = _make_kernel_batched(L, n, K, precision, B=B)
+    elif layout.startswith("bd"):
+        B = int(layout[2:] or 4)
+        bd_params, groups = _build_bd_constants(
+            {k: np.asarray(v) for k, v in consts.items()}, n, L, B)
+        kernel = _make_kernel_bd(L, n, K, groups, precision, B=B)
     else:
         raise ValueError(f"unknown layout: {layout!r}")
     del nh  # only nq appears in the output spec
@@ -364,8 +638,10 @@ def _compiled(L: int, H: int, W: int, precision: str = "default",
         return pl.BlockSpec((1,) + shape, lambda i: (0,) * (nd + 1),
                             memory_space=pltpu.VMEM)
 
-    const_order = ["psi0", "psi1", "phi0", "phi1", "c_n", "s_n", "c_h",
-                   "s_h", "gq_c", "gq_s", "gh_c", "gh_s", "gq2_c", "gq2_s"]
+    const_order = BD_CONST_ORDER if bd_params is not None else [
+        "psi0", "psi1", "phi0", "phi1", "c_n", "s_n", "c_h",
+        "s_h", "gq_c", "gq_s", "gh_c", "gh_s", "gq2_c", "gq2_s"]
+    params_src = bd_params if bd_params is not None else consts
 
     def run(xpad, params):
         nb = xpad.shape[0]
@@ -427,7 +703,7 @@ def _compiled(L: int, H: int, W: int, precision: str = "default",
         return _crop(run(_prep(x), params))
 
     features.coeff_maps = coeff_maps
-    return features, consts, bank
+    return features, params_src, bank
 
 
 class FusedScatteringJ2:
