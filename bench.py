@@ -104,23 +104,25 @@ def main():
         # asymptote (reports/SCALING_tpu_batch.json, 2026-08-21:
         # 14.9k@512, 15.5k@1024, 16.0k@3072) — b3072 is the measured
         # knee (578 MB input, well inside HBM).
-        # bd2 first: the round-5 block-diagonal MXU-tile-exact layout
-        # (17,953 patches/s measured vs tall2's 15.9k — every DFT matmul
-        # fills both the 128-deep contraction and the 128-lane tile).
-        plan += [("pallas_periodic_bd2_b3072",
-                  lambda: bench_pallas(3072, iters, "periodic", "bd2")),
+        # bd8 first: the round-5 block-diagonal MXU-tile-exact layout with
+        # in-kernel pooled stats (20,804 patches/s measured vs tall2's
+        # 15,952 — every DFT matmul fills both the 128-deep contraction
+        # and the 128-lane tile, and the features path never round-trips
+        # coefficient maps through HBM).
+        plan += [("pallas_periodic_bd8_b3072",
+                  lambda: bench_pallas(3072, iters, "periodic", "bd8")),
                  ("pallas_periodic_tall2_b3072",
                   lambda: bench_pallas(3072, iters, "periodic", "tall2")),
-                 ("pallas_periodic_bd2_b512",
-                  lambda: bench_pallas(512, iters, "periodic", "bd2")),
+                 ("pallas_periodic_bd8_b512",
+                  lambda: bench_pallas(512, iters, "periodic", "bd8")),
                  (f"pallas_reflect_b{batch}",
                   lambda: bench_pallas(batch, iters, "reflect")),
                  # BASELINE config 1's shape (64x64 patches): measured as a
                  # secondary datum; excluded from the 128px headline.  bd8
                  # collapses the 64/32/16-point stages' 2-8x tile padding
-                 # (54.5-56.1k measured vs tall2's 26.4k).
-                 ("pallas_periodic_64px_bd8_b2048",
-                  lambda: bench_pallas(2048, iters, "periodic", "bd8",
+                 # (78,641 measured vs round-4 tall2's 26.4k).
+                 ("pallas_periodic_64px_bd8_b4096",
+                  lambda: bench_pallas(4096, iters, "periodic", "bd8",
                                        h=64, w=64))]
 
     candidates = {}

@@ -93,12 +93,12 @@ REPL_SEEDS = {"mini": range(1000, 1400), "small": range(1000, 1160),
 REPL_SEEDS_CLEAN = {"mini": range(1000, 1800), "small": range(1000, 1320),
                     "original": range(1000, 1040)}
 # Deep-seed bias-bound plan (VERDICT round-3 directive #3: CIs must sit
-# under the gate so it cannot be satisfied by variance).  Round 5 bumps
-# the mini family to 3400 seeds so the TEST-split delta's ci95 also lands
-# under 0.01 (d_test_std ~0.29 at mini -> n >= (1.96*0.29/0.01)^2 ~ 3300;
-# the small families' ~0.10 std already satisfies it at 400).
-BIAS_SEEDS = {"popolar/mini": 3400, "assatigue/small": 400,
-              "popolar/small": 400}
+# under the gate so it cannot be satisfied by variance).  Round 5 sizes
+# the counts so the TEST-split delta's ci95 also lands under 0.01: the
+# measured stds are d_test ~0.31 at mini and ~0.105 at small, so mini
+# needs (1.96*0.31/0.01)^2 ~ 3700 seeds and the small families ~430.
+BIAS_SEEDS = {"popolar/mini": 4100, "assatigue/small": 470,
+              "popolar/small": 470}
 # family_128 at the bias_bound treatment (round-4 VERDICT directive #2).
 FAMILY128_SEEDS = {"mini": 1000, "small": 400, "original": 40}
 # Forest-kernel RNG/semantics version: embedded in every forest-dependent

@@ -319,22 +319,23 @@ class FusedScattering:
 def auto_layout(J: int, boundary: str, H: int = 128) -> str:
     """Fastest measured layout per configuration (v5e, L=8).
 
-    J=2 periodic: the round-5 block-diagonal layouts dominate — they fill
-    both the 128-deep MXU contraction and the 128-lane output tile on
-    every DFT matmul (fused_scattering._bd_groups): at 128 px bd2 17,953
-    patches/s > tall2 15,9xx; at <=64 px bd8 54,554-56,079 > tall4 ~35k >
-    tall2 ~27k (the 64/32/16-point stages padded 2-8x without it).  The
-    reflect 17*2^k grids are not power-of-2 so bd does not apply; wide
-    remains reflect-optimal (tall2-reflect measured 1,292 — VMEM spill).
-    Deeper J shifts work to coarse resolutions where taller operands
-    amortize more column-side DFTs: J=4 periodic tall8 5,948 > tall4
-    5,412 > tall2 4,614 > wide 3,431; reflect tall4 3,094 > tall2 2,814 >
-    wide 2,362.
+    J=2 periodic: the round-5 block-diagonal layout with in-kernel pooled
+    stats dominates — every DFT matmul fills both the 128-deep MXU
+    contraction and the 128-lane output tile (fused_scattering.
+    _bd_groups), and the features path reduces each coefficient map to
+    sum/sumsq ON the MXU instead of round-tripping (K, nq, nq) maps
+    through HBM.  Measured (v5e, idle host): 128 px bd8 20,804 patches/s
+    (bd2 17,953, tall2 15,952); 64 px bd8 78,641 (bd16 73,391, tall4
+    ~35k, tall2 26.4k — the 64/32/16-point stages padded 2-8x without
+    bd).  The reflect 17*2^k grids are not power-of-2 so bd does not
+    apply; wide remains reflect-optimal (tall2-reflect measured 1,292 —
+    VMEM spill).  Deeper J shifts work to coarse resolutions where taller
+    operands amortize more column-side DFTs: J=4 periodic tall8 5,948 >
+    tall4 5,412 > tall2 4,614 > wide 3,431; reflect tall4 3,094 > tall2
+    2,814 > wide 2,362.
     """
     if J == 2:
-        if boundary == "periodic":
-            return "bd2" if H >= 128 else "bd8"
-        return "wide"
+        return "bd8" if boundary == "periodic" else "wide"
     return "tall8" if boundary == "periodic" else "tall4"
 
 

@@ -388,7 +388,25 @@ def _build_bd_constants(consts, n: int, L: int, B: int):
     """Block-diagonal parameter set for :func:`_make_kernel_bd`."""
     c = {k: np.asarray(v, np.float32) for k, v in consts.items()}
     g = _bd_groups(n, L, B)
+    nq = n // 4
+    # In-kernel pooling reduction operators (pooled=True kernels): per
+    # pooled block sr (B*nq, g*nq), (Opool @ sr) @ Qpool_g gives the
+    # (B, g) per-(image, orientation) map sums on the MXU — the features
+    # path then never materializes coefficient maps through HBM.
+    opool = np.zeros((B, B * nq), np.float32)
+    for b in range(B):
+        opool[b, b * nq:(b + 1) * nq] = 1.0
+
+    def qpool(gt):
+        q = np.zeros((gt * nq, gt), np.float32)
+        for t in range(gt):
+            q[t * nq:(t + 1) * nq, t] = 1.0
+        return q
+
     bd = {
+        "Opool": opool,
+        "Qpool_L": qpool(L),
+        "Qpool_1": qpool(1),
         # elementwise banks + ungrouped fft-column / S0-right bases
         "psi0": c["psi0"], "psi1": c["psi1"],
         "phi0": c["phi0"], "phi1": c["phi1"],
@@ -424,11 +442,13 @@ BD_CONST_ORDER = [
     "psi0", "psi1", "phi0", "phi1", "c_n", "s_n", "gqT_c", "gqT_s",
     "Lcn", "Lsn", "Lch", "Lsh", "Lgq_c", "Lgq_s", "Lgh_c", "Lgh_s",
     "Lgq2_c", "Lgq2_s", "Rcn_c", "Rcn_s", "Rch_c", "Rch_s", "Rgh_c",
-    "Rgh_s", "Rgq_c", "Rgq_s", "Rgq2_c", "Rgq2_s"]
+    "Rgh_s", "Rgq_c", "Rgq_s", "Rgq2_c", "Rgq2_s",
+    "Opool", "Qpool_L", "Qpool_1"]
 
 
 def _make_kernel_bd(L: int, n: int, n_coeffs: int, groups,
-                    precision: str = "default", B: int = 4):
+                    precision: str = "default", B: int = 4,
+                    pooled: bool = False):
     """Block-diagonal MXU-tile-exact kernel variant ("bd" layout).
 
     Same tall image-stacking as :func:`_make_kernel_batched`, but every
@@ -451,11 +471,23 @@ def _make_kernel_bd(L: int, n: int, n_coeffs: int, groups,
     def mm(a, b):
         return jnp.dot(a, b, preferred_element_type=f32, precision=prec)
 
+    def mm_hi(a, b):
+        # pooling reductions: f32-exact regardless of the cascade's bf16
+        # default (these are tiny matmuls; the sums feed a mean/variance
+        # difference where bf16 input quantization would dominate)
+        return jnp.dot(a, b, preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
+
     idx = {k: i for i, k in enumerate(BD_CONST_ORDER)}
 
     def kernel(x_ref, *refs):
-        out_ref = refs[-1]
-        crefs = refs[:-1]
+        if pooled:
+            out_sum_ref, out_sq_ref = refs[-2], refs[-1]
+            crefs = refs[:-2]
+            pooled_blocks = {}          # base_slot -> ((B, g), (B, g))
+        else:
+            out_ref = refs[-1]
+            crefs = refs[:-1]
 
         def R(name):
             return crefs[idx[name]][0]
@@ -525,7 +557,17 @@ def _make_kernel_bd(L: int, n: int, n_coeffs: int, groups,
             return cat_r, cat_i
 
         def pool(srcat, base_slot, m_out):
-            """srcat: (B*m_out, L*m_out) pooled maps, lane block per t."""
+            """srcat: (B*m_out, L*m_out) pooled maps, lane block per t.
+
+            pooled=True reduces each (image, orientation) map to its sum
+            and sum-of-squares ON THE MXU instead of storing maps:
+            (Opool @ sr) @ Qpool collapses rows then lane blocks."""
+            if pooled:
+                O, Q = R("Opool"), R("Qpool_L")
+                pooled_blocks[base_slot] = (
+                    mm_hi(mm_hi(O, srcat), Q),
+                    mm_hi(mm_hi(O, srcat * srcat), Q))
+                return
             for b in range(B):
                 rows = srcat[b * m_out:(b + 1) * m_out]
                 for t in range(L):
@@ -545,8 +587,13 @@ def _make_kernel_bd(L: int, n: int, n_coeffs: int, groups,
         ar0, ai0 = left_bd(R("Lgq_c"), R("Lgq_s"), Xr * phi0, Xi * phi0,
                            n, nq, g["gL_n"])
         s0 = (mm(ar0, R("gqT_c")) - mm(ai0, R("gqT_s"))) / f32(nq * nq)
-        for b in range(B):
-            out_ref[b, 0] = s0[b * nq:(b + 1) * nq]
+        if pooled:
+            O, Q1 = R("Opool"), R("Qpool_1")
+            pooled_blocks[0] = (mm_hi(mm_hi(O, s0), Q1),
+                                mm_hi(mm_hi(O, s0 * s0), Q1))
+        else:
+            for b in range(B):
+                out_ref[b, 0] = s0[b * nq:(b + 1) * nq]
 
         slot2 = 1 + 2 * L
 
@@ -603,6 +650,28 @@ def _make_kernel_bd(L: int, n: int, n_coeffs: int, groups,
             R("Lgq2_c"), R("Lgq2_s"), R("Rgq2_c"), R("Rgq2_s"),
             g["gT_hq"], 1 + L)
 
+        if pooled:
+            # Lane-concatenate the per-stage (B, width) sum blocks in slot
+            # order -> (B, n_coeffs), pad lanes to 128, one 2-D store each.
+            order = sorted(pooled_blocks)
+            Tcat = jnp.concatenate([pooled_blocks[s][0] for s in order],
+                                   axis=1)
+            SQcat = jnp.concatenate([pooled_blocks[s][1] for s in order],
+                                    axis=1)
+            padlanes = 128 - Tcat.shape[1]
+            if padlanes:
+                z = jnp.zeros((B, padlanes), f32)
+                Tcat = jnp.concatenate([Tcat, z], axis=1)
+                SQcat = jnp.concatenate([SQcat, z], axis=1)
+            if B < 8:
+                # Mosaic requires store blocks with >= 8 sublanes: row-pad
+                # the (B, 128) stats to (8, 128); the host slices rows :B.
+                zr = jnp.zeros((8 - B, 128), f32)
+                Tcat = jnp.concatenate([Tcat, zr], axis=0)
+                SQcat = jnp.concatenate([SQcat, zr], axis=0)
+            out_sum_ref[...] = Tcat
+            out_sq_ref[...] = SQcat
+
     return kernel
 
 
@@ -643,6 +712,18 @@ def _compiled(L: int, H: int, W: int, precision: str = "default",
         "s_h", "gq_c", "gq_s", "gh_c", "gh_s", "gq2_c", "gq2_s"]
     params_src = bd_params if bd_params is not None else consts
 
+    def _compiler_params():
+        try:
+            # The 16 MB scoped-VMEM compiler default is what capped the
+            # tall layout at B=2; the physical budget is larger (same cap
+            # policy as fused_general — overridable via WST_PALLAS_VMEM_MB).
+            import os
+            cap_mb = int(os.environ.get("WST_PALLAS_VMEM_MB", "96"))
+            return {"compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=cap_mb * 1024 * 1024)}
+        except (TypeError, ValueError):  # pragma: no cover - older jax
+            return {}
+
     def run(xpad, params):
         nb = xpad.shape[0]
         pad_b = (-nb) % B
@@ -657,26 +738,54 @@ def _compiled(L: int, H: int, W: int, precision: str = "default",
                                    lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
         )
-        try:
-            # The 16 MB scoped-VMEM compiler default is what capped the
-            # tall layout at B=2; the physical budget is larger (same cap
-            # policy as fused_general — overridable via WST_PALLAS_VMEM_MB).
-            import os
-            cap_mb = int(os.environ.get("WST_PALLAS_VMEM_MB", "96"))
-            compiler_params = pltpu.CompilerParams(
-                vmem_limit_bytes=cap_mb * 1024 * 1024)
-        except (TypeError, ValueError):  # pragma: no cover - older jax
-            compiler_params = None
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nb + pad_b, K, nq, nq),
                                            jnp.float32),
             interpret=_interpret_mode(),
-            **({"compiler_params": compiler_params}
-               if compiler_params is not None else {}),
+            **_compiler_params(),
         )(xpad, *[params[k][None] for k in const_order])
         return out[:nb] if pad_b else out
+
+    kernel_pooled = None
+    if bd_params is not None:
+        kernel_pooled = _make_kernel_bd(L, n, K, groups, precision, B=B,
+                                        pooled=True)
+
+    def run_pooled(xpad, params):
+        """bd-only fully-fused path: per-coefficient map SUM and SUMSQ
+        computed on the MXU inside the kernel — the features path never
+        materializes the (K, nq, nq) coefficient maps through HBM (they
+        were ~45% of the e2e HBM traffic and the XLA mean/std fusions
+        ~19% of module time in the round-5 trace)."""
+        nb = xpad.shape[0]
+        pad_b = (-nb) % B
+        if pad_b:
+            xpad = jnp.pad(xpad, ((0, pad_b), (0, 0), (0, 0)))
+        ngrid = (nb + pad_b) // B
+        rows = max(B, 8)               # stats blocks row-padded to 8
+        out_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        grid_spec = pl.GridSpec(
+            grid=(ngrid,),
+            in_specs=[pl.BlockSpec((B, n, n), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+            + [bcast_spec(tuple(params[k].shape)) for k in const_order],
+            out_specs=[out_spec, out_spec],
+        )
+        struct = jax.ShapeDtypeStruct((ngrid * rows, 128), jnp.float32)
+        s, sq = pl.pallas_call(
+            kernel_pooled,
+            grid_spec=grid_spec,
+            out_shape=[struct, struct],
+            interpret=_interpret_mode(),
+            **_compiler_params(),
+        )(xpad, *[params[k][None] for k in const_order])
+        if rows != B:                  # drop the per-block row padding
+            s = s.reshape(ngrid, rows, 128)[:, :B].reshape(-1, 128)
+            sq = sq.reshape(ngrid, rows, 128)[:, :B].reshape(-1, 128)
+        return (s[:nb], sq[:nb]) if pad_b else (s, sq)
 
     pad_h, pad_w = bank.pad_h, bank.pad_w
 
@@ -689,13 +798,26 @@ def _compiled(L: int, H: int, W: int, precision: str = "default",
     def _crop(maps):
         return maps[..., 1:-1, 1:-1] if bank.boundary == "reflect" else maps
 
-    @jax.jit
-    def features(x, params):
-        """x: (B, H, W) float32 -> (B, 2K) [means then stds]."""
-        maps = _crop(run(_prep(x), params))
-        mean = jnp.mean(maps, axis=(-2, -1))
-        std = jnp.std(maps, axis=(-2, -1))
-        return jnp.concatenate([mean, std], axis=-1)
+    if kernel_pooled is not None:
+        # bd layouts are periodic-only (no crop), so in-kernel pooled
+        # sums are exact over the full maps.
+        npix = jnp.float32(nq * nq)
+
+        @jax.jit
+        def features(x, params):
+            """x: (B, H, W) float32 -> (B, 2K) [means then stds]."""
+            s, sq = run_pooled(_prep(x), params)
+            mean = s[:, :K] / npix
+            var = jnp.maximum(sq[:, :K] / npix - mean * mean, 0.0)
+            return jnp.concatenate([mean, jnp.sqrt(var)], axis=-1)
+    else:
+        @jax.jit
+        def features(x, params):
+            """x: (B, H, W) float32 -> (B, 2K) [means then stds]."""
+            maps = _crop(run(_prep(x), params))
+            mean = jnp.mean(maps, axis=(-2, -1))
+            std = jnp.std(maps, axis=(-2, -1))
+            return jnp.concatenate([mean, std], axis=-1)
 
     @jax.jit
     def coeff_maps(x, params):
