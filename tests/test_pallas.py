@@ -83,6 +83,24 @@ def test_fused_bd_rejects_reflect_grid(interpreted_pallas):
         fused_scattering_j2(8, 128, 128, boundary="reflect", layout="bd2")
 
 
+def test_fused_general_bd_layout(interpreted_pallas, rng):
+    """General-J block-diagonal layout (round 5): grouped left/right DFT
+    matmuls + in-kernel pooled stats match the oracle at J=3."""
+    from wst_tpu.ops.pallas.fused_general import FusedScattering
+    from wst_tpu.ops.scattering import Scattering2D
+
+    H = W = 32
+    x = rng.random((3, H, W)).astype(np.float32)
+    want = np.asarray(Scattering2D(3, 8, H, W, mode="fft",
+                                   boundary="periodic").features(x))
+    k = FusedScattering(3, 8, H, W, boundary="periodic", layout="bd2")
+    got = np.asarray(k.features(x))
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+    maps = np.asarray(k(x))
+    assert maps.shape == (3, k.n_coeffs, H >> 3, W >> 3)
+
+
 def test_fused_l4(interpreted_pallas, rng):
     from wst_tpu.ops.pallas.fused_scattering import fused_scattering_j2
     from wst_tpu.ops.scattering import Scattering2D
