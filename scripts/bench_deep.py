@@ -32,9 +32,9 @@ def main():
     from wst_tpu.ops.pallas.fused_general import FusedScattering
 
     results = {}
-    # auto_layout picks tall8 for periodic J=4 and tall4 for reflect
+    # auto_layout picks bd4 for periodic J=4 (round 5) and tall4 for reflect
     # (measured round 1); re-measure those winners plus the XLA baseline.
-    for boundary, layout in [("periodic", "tall8"), ("reflect", "tall4")]:
+    for boundary, layout in [("periodic", "bd4"), ("reflect", "tall4")]:
         try:
             t0 = time.perf_counter()
             f = FusedScattering(J, L, H, W, boundary=boundary, layout=layout)
