@@ -100,7 +100,9 @@ REPL_SEEDS_CLEAN = {"mini": range(1000, 1800), "small": range(1000, 1320),
 BIAS_SEEDS = {"popolar/mini": 4100, "assatigue/small": 470,
               "popolar/small": 470}
 # family_128 at the bias_bound treatment (round-4 VERDICT directive #2).
-FAMILY128_SEEDS = {"mini": 1000, "small": 400, "original": 40}
+# mini at 1200: the decoupled-oracle d_cv std measured up to 0.167
+# (sunset), so the ci95 <= 0.01 gate needs n >= (1.96*0.167/0.01)^2.
+FAMILY128_SEEDS = {"mini": 1200, "small": 400, "original": 40}
 # Forest-kernel RNG/semantics version: embedded in every forest-dependent
 # phase plan so artifacts measured against an older kernel are discarded
 # instead of silently gating a changed forest.  r5: bootstrap key split
